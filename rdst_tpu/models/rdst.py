@@ -1,0 +1,295 @@
+"""RDST — Residual Dense Swin Transformer SR (the flagship model).
+
+TPU-native re-design of the reference RDSTSR
+(/root/reference/networks/swinIR_variations.py:21-236, 890-1141):
+
+* DenseSTLayer (DSTL): 2 Swin blocks (shift 0 / ws//2) + linear dim
+  adapter at 'head'/'tail' + dense channel concat;
+* RDSTB: num_blocks DSTLs with input dim growing by growth_rate, then a
+  3x3 conv bottleneck back to embed_dim and a scaled residual;
+* RDSTSR: mean-shift → head conv → N×RDSTB over tokens → LayerNorm →
+  optional conv_after_body → global residual → PixelShuffle tail.
+
+Layouts are NHWC / (B, L, C) tokens; all shape-dependent masks resolve
+at trace time. Module names mirror the reference attribute paths so the
+torch-checkpoint importer is a mechanical key translation.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from rdst_tpu.nn.common import Conv, UpSampler, mean_shift
+from rdst_tpu.nn.layers import LayerNorm, activation, trunc_normal_init
+from rdst_tpu.nn.swin import BasicLayer
+
+
+def to_tokens(x: jax.Array) -> Tuple[jax.Array, Tuple[int, int]]:
+    """(B,H,W,C) -> ((B,L,C), (H,W)); row-major L like torch flatten(2)."""
+    b, h, w, c = x.shape
+    return x.reshape(b, h * w, c), (h, w)
+
+
+def to_image(x: jax.Array, x_size: Tuple[int, int]) -> jax.Array:
+    b, l, c = x.shape
+    return x.reshape(b, x_size[0], x_size[1], c)
+
+
+class DenseSTLayer(nn.Module):
+    """DSTL (swinIR_variations.py:21-116): Swin pair + dense concat."""
+
+    input_dim: int
+    growth_rate: int
+    depth: int = 2
+    num_heads: int = 6
+    window_size: int = 8
+    mlp_ratio: float = 2.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: float = 0.0
+    dense_scale: float = 1.0
+    dim_modify_mode: str = "tail"
+    pre_norm: bool = False
+    build_resolution: Optional[Tuple[int, int]] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, x_size, deterministic: bool = True):
+        assert self.growth_rate % self.num_heads == 0
+        assert self.input_dim % self.num_heads == 0
+        shortcut = x
+
+        hidden_dim = self.growth_rate if self.dim_modify_mode == "head" else self.input_dim
+        need_adapter = self.input_dim != self.growth_rate
+
+        def adapter(y, in_dim, out_dim, name):
+            # nn.Sequential([norm, linear]) if pre_norm else [linear, norm]
+            if self.pre_norm:
+                y = LayerNorm(dtype=self.dtype, name=f"{name}_0")(y)
+                y = nn.Dense(out_dim, dtype=self.dtype, kernel_init=trunc_normal_init,
+                             name=f"{name}_1")(y)
+            else:
+                y = nn.Dense(out_dim, dtype=self.dtype, kernel_init=trunc_normal_init,
+                             name=f"{name}_0")(y)
+                y = LayerNorm(dtype=self.dtype, name=f"{name}_1")(y)
+            return y
+
+        if self.dim_modify_mode == "head" and need_adapter:
+            x = adapter(x, self.input_dim, self.growth_rate, "head")
+
+        x = BasicLayer(
+            dim=hidden_dim, depth=self.depth, num_heads=self.num_heads,
+            window_size=self.window_size, mlp_ratio=self.mlp_ratio,
+            qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
+            drop=self.drop, attn_drop=self.attn_drop,
+            drop_path=(self.drop_path,) * self.depth,
+            build_resolution=self.build_resolution,
+            dtype=self.dtype, name="body",
+        )(x, x_size, deterministic)
+
+        if self.dim_modify_mode == "tail" and need_adapter:
+            x = adapter(x, hidden_dim, self.growth_rate, "tail")
+
+        return jnp.concatenate([shortcut, x * self.dense_scale], axis=2)
+
+
+class RDSTB(nn.Module):
+    """Residual dense block of DSTLs (swinIR_variations.py:129-220)."""
+
+    input_dim: int
+    layer_depth: int = 2
+    num_heads: int = 6
+    window_size: int = 8
+    mlp_ratio: float = 2.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: float = 0.0
+    resi_connection: str = "1conv"
+    growth_rate: int = 30
+    dense_scale: float = 1.0
+    dim_modify_mode: str = "tail"
+    num_blocks: int = 3
+    residual_scale: float = 1.0
+    pre_norm: bool = False
+    build_resolution: Optional[Tuple[int, int]] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, x_size, deterministic: bool = True):
+        shortcut = x
+        idim = self.input_dim
+        for i in range(int(self.num_blocks)):
+            x = DenseSTLayer(
+                input_dim=idim, growth_rate=self.growth_rate,
+                depth=self.layer_depth, num_heads=self.num_heads,
+                window_size=self.window_size, mlp_ratio=self.mlp_ratio,
+                qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
+                drop=self.drop, attn_drop=self.attn_drop, drop_path=self.drop_path,
+                dense_scale=self.dense_scale, dim_modify_mode=self.dim_modify_mode,
+                pre_norm=self.pre_norm, build_resolution=self.build_resolution,
+                dtype=self.dtype, name=f"body_{i}",
+            )(x, x_size, deterministic)
+            idim += self.growth_rate
+
+        # conv bottleneck back to input_dim, in image layout
+        y = to_image(x, x_size)
+        if self.resi_connection == "1conv":
+            y = Conv(self.input_dim, 3, dtype=self.dtype, name="conv")(y)
+        elif self.resi_connection == "3conv":
+            lrelu = activation("leaky_relu", 0.2)
+            y = Conv(idim // 4, 3, dtype=self.dtype, name="conv_0")(y)
+            y = lrelu(y)
+            y = Conv(idim // 4, 1, dtype=self.dtype, name="conv_2")(y)
+            y = lrelu(y)
+            y = Conv(self.input_dim, 3, dtype=self.dtype, name="conv_4")(y)
+        else:
+            raise ValueError(f"unknown resi_connection {self.resi_connection}")
+        y, _ = to_tokens(y)
+        return y * self.residual_scale + shortcut
+
+
+class RDSTSR(nn.Module):
+    """Full RDST SR network (swinIR_variations.py:890-1135)."""
+
+    in_chans: int = 1
+    sr_scale: int = 4
+    embed_dim: int = 60
+    dense_layer_depths: Sequence[int] = (2, 2, 2, 2)
+    num_heads: Sequence[int] = (6, 6, 6, 6)
+    window_size: Sequence[int] = (4, 4, 4, 4)
+    rdb_depths: Sequence[int] = (3, 3, 3, 3)
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    drop_rate: float = 0.0
+    attn_drop: float = 0.0
+    drop_path_rate: float = 0.0
+    ape: bool = False
+    patch_norm: bool = True
+    resi_connection: str = "1conv"
+    growth_rate: int = 30
+    dense_scale: float = 1.0
+    dim_modify_mode: str = "tail"
+    rdb_residual_scale: float = 1.0
+    global_res_scale: float = 1.0
+    mean: Sequence[float] = (0.0,)
+    std: Sequence[float] = (1.0,)
+    scale_free: bool = False
+    pre_norm: bool = False
+    feature_last_operation: bool = False
+    # constructor-time resolution for the shift clamp decision (the RDST
+    # factory passes the LR training patch size, swinIR_variations.py:1149)
+    build_resolution: Optional[Tuple[int, int]] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, sr_scale=None, deterministic: bool = True):
+        num_blocks = len(self.rdb_depths)
+        assert num_blocks == len(self.window_size) == len(self.num_heads) == len(self.dense_layer_depths)
+
+        x = mean_shift(x, self.mean, self.std, "sub")
+        x = Conv(self.embed_dim, 3, dtype=self.dtype, name="head")(x)
+
+        # forward_features over tokens
+        tokens, x_size = to_tokens(x)
+        if self.patch_norm:
+            tokens = LayerNorm(dtype=self.dtype, name="patch_embed_norm")(tokens)
+        if self.ape:
+            ape = self.param("absolute_pos_embed", trunc_normal_init,
+                             (1, tokens.shape[1], self.embed_dim))
+            tokens = tokens + ape
+        tokens = nn.Dropout(self.drop_rate)(tokens, deterministic=deterministic)
+
+        for i in range(num_blocks):
+            tokens = RDSTB(
+                input_dim=self.embed_dim,
+                layer_depth=self.dense_layer_depths[i],
+                num_heads=self.num_heads[i],
+                window_size=self.window_size[i],
+                mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
+                drop=self.drop_rate, attn_drop=self.attn_drop,
+                resi_connection=self.resi_connection,
+                growth_rate=self.growth_rate, dense_scale=self.dense_scale,
+                dim_modify_mode=self.dim_modify_mode,
+                num_blocks=self.rdb_depths[i],
+                residual_scale=self.rdb_residual_scale,
+                pre_norm=self.pre_norm, build_resolution=self.build_resolution,
+                dtype=self.dtype, name=f"body_{i}",
+            )(tokens, x_size, deterministic)
+
+        tokens = LayerNorm(dtype=self.dtype, name="norm")(tokens)
+        res = to_image(tokens, x_size) * self.global_res_scale
+        if self.feature_last_operation:
+            if self.resi_connection == "1conv":
+                res = Conv(self.embed_dim, 3, dtype=self.dtype, name="conv_after_body")(res)
+            else:
+                lrelu = activation("leaky_relu", 0.2)
+                res = Conv(self.embed_dim // 4, 3, dtype=self.dtype, name="conv_after_body_0")(res)
+                res = lrelu(res)
+                res = Conv(self.embed_dim // 4, 1, dtype=self.dtype, name="conv_after_body_2")(res)
+                res = lrelu(res)
+                res = Conv(self.embed_dim, 3, dtype=self.dtype, name="conv_after_body_4")(res)
+        res = res + x
+
+        if self.scale_free:
+            from rdst_tpu.models.meta_upscale import MetaUpSampler
+
+            out = MetaUpSampler(self.in_chans, dtype=self.dtype, name="tail_meta")(res, sr_scale)
+        else:
+            out = res
+            if self.sr_scale > 1:
+                out = UpSampler(self.sr_scale, self.embed_dim, dtype=self.dtype,
+                                name="tail_up")(out)
+            out = Conv(self.in_chans, 3, dtype=self.dtype, name="tail_conv")(out)
+
+        return mean_shift(out, self.mean, self.std, "add")
+
+
+def make_rdst(paras, mean=None, std=None, dtype=jnp.float32) -> RDSTSR:
+    """Factory keyed off the reference config names
+    (swinIR_variations.py:1144-1232)."""
+    if paras.rdst_global_bottleneck:
+        from rdst_tpu.models.rdst_n import make_rdst_n
+
+        return make_rdst_n(paras, mean, std, dtype)
+    return RDSTSR(
+        in_chans=paras.input_channel,
+        sr_scale=int(paras.sr_scale),
+        embed_dim=paras.rdst_embed_dim,
+        dense_layer_depths=tuple(paras.rdst_dense_layer_depths),
+        num_heads=tuple(paras.rdst_num_heads),
+        window_size=tuple(paras.rdst_window_size),
+        rdb_depths=tuple(paras.rdst_rdb_depths),
+        mlp_ratio=paras.swin_hidden_ratio,
+        qkv_bias=paras.swin_qkv_bias,
+        qk_scale=paras.swin_qk_scale,
+        drop_rate=paras.swin_drop_rate,
+        attn_drop=paras.swin_attn_drop_rate,
+        drop_path_rate=paras.swin_drop_path_rate,
+        ape=paras.rdst_ape,
+        patch_norm=paras.rdst_patch_norm,
+        resi_connection=paras.rdst_res_connection,
+        growth_rate=paras.rdst_growth_rate,
+        dense_scale=paras.rdst_dense_scale,
+        dim_modify_mode=paras.rdst_dim_modify_mode,
+        rdb_residual_scale=paras.rdst_rdb_residual_scale,
+        global_res_scale=paras.rdst_global_res_scale,
+        mean=tuple(mean) if mean is not None else (0.0,) * paras.input_channel,
+        std=tuple(std) if std is not None else (1.0,) * paras.input_channel,
+        scale_free=paras.scale_free,
+        pre_norm=paras.rdst_pre_norm,
+        feature_last_operation=paras.rdst_feature_last_operation,
+        build_resolution=(
+            paras.patch_size // paras.swin_patch_size,
+            paras.patch_size // paras.swin_patch_size,
+        ),
+        dtype=dtype,
+    )

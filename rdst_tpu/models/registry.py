@@ -1,0 +1,104 @@
+"""Model factory registry.
+
+`feature_generator` config values map to factories, mirroring the
+reference trainer dispatch (/root/reference/models/trans_sr_trainer.py:39-57
+plus the sota/meta/ipt trainer families). Every factory takes
+``(paras, mean, std, dtype)`` and returns a flax Module whose
+``__call__(x, sr_scale=None, deterministic=True)`` maps NHWC LR -> HR.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import jax.numpy as jnp
+
+MODEL_REGISTRY: Dict[str, Callable] = {}
+
+
+def register(name: str):
+    def deco(fn):
+        MODEL_REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+def build_generator(paras, mean=None, std=None, dtype=jnp.float32):
+    name = paras.feature_generator
+    # lazy imports keep optional model families decoupled
+    if name not in MODEL_REGISTRY:
+        _load_builtin(name)
+    if name not in MODEL_REGISTRY:
+        raise ValueError(
+            f"Unknown feature_generator '{name}'. Available: {sorted(MODEL_REGISTRY)}"
+        )
+    return MODEL_REGISTRY[name](paras, mean, std, dtype)
+
+
+def _load_builtin(name: str) -> None:
+    if name == "rdst":
+        from rdst_tpu.models.rdst import make_rdst
+
+        MODEL_REGISTRY["rdst"] = make_rdst
+    elif name == "swinir":
+        from rdst_tpu.models.swinir import make_swinir
+
+        MODEL_REGISTRY["swinir"] = make_swinir
+    elif name == "edsr":
+        from rdst_tpu.models.edsr import make_edsr
+
+        MODEL_REGISTRY["edsr"] = make_edsr
+    elif name == "rdn":
+        from rdst_tpu.models.rdn import make_rdn
+
+        MODEL_REGISTRY["rdn"] = make_rdn
+    elif name == "rcan":
+        from rdst_tpu.models.rcan import make_rcan
+
+        MODEL_REGISTRY["rcan"] = make_rcan
+    elif name == "han":
+        from rdst_tpu.models.han import make_han
+
+        MODEL_REGISTRY["han"] = make_han
+    elif name in ("convnet-large", "convnet-lite"):
+        from rdst_tpu.models.convnext_sr import make_convnet_large, make_convnet_lite
+
+        MODEL_REGISTRY["convnet-large"] = make_convnet_large
+        MODEL_REGISTRY["convnet-lite"] = make_convnet_lite
+    elif name in ("srresnet", "SRResNet"):
+        from rdst_tpu.models.srresnet import make_srresnet
+
+        MODEL_REGISTRY[name] = make_srresnet
+    elif name in ("srdensenet", "SRDenseNet"):
+        from rdst_tpu.models.srdensenet import make_srdensenet
+
+        MODEL_REGISTRY[name] = make_srdensenet
+    elif name in ("esrgan", "ESRGAN"):
+        from rdst_tpu.models.esrgan import make_esrgan
+
+        MODEL_REGISTRY[name] = make_esrgan
+    elif name in ("mdsr", "MDSR"):
+        from rdst_tpu.models.mdsr import make_mdsr
+
+        MODEL_REGISTRY[name] = make_mdsr
+    elif name in ("metasr", "MetaSR"):
+        from rdst_tpu.models.metasr import make_metasr
+
+        MODEL_REGISTRY[name] = make_metasr
+    elif name == "ipt":
+        from rdst_tpu.models.ipt import make_ipt
+
+        MODEL_REGISTRY["ipt"] = make_ipt
+    elif name in ("dbpn", "DBPN"):
+        from rdst_tpu.models.dbpn import make_dbpn
+
+        MODEL_REGISTRY[name] = make_dbpn
+    elif name in ("zssr", "ZSSR"):
+        from rdst_tpu.models.zssr import make_zssr
+
+        MODEL_REGISTRY[name] = make_zssr
+    elif name in ("swinmlp", "swin-mlp"):
+        from rdst_tpu.models.swin_mlp import make_swinmlp
+
+        MODEL_REGISTRY[name] = make_swinmlp

@@ -1,0 +1,259 @@
+"""Swin transformer core ops (NHWC / token layouts, trace-time masks).
+
+TPU-first re-design of the reference Swin foundation
+(/root/reference/networks/swin_transformer_sr.py:32-409):
+
+* window partition/reverse are pure reshapes+transposes on NHWC;
+* the relative-position bias index and the shifted-window attention
+  mask are computed **with numpy at trace time** from static shapes —
+  no data-dependent control flow reaches XLA, and arbitrary inference
+  resolutions simply trace a new (cached) program per shape bucket
+  (replaces the reference's runtime mask recompute, :253-257);
+* attention is batched dense matmuls over (B·nW, heads, N, N) with
+  N = window² = 64 — small per-window, but the window-batch dimension
+  is large so XLA tiles it onto the MXU efficiently. A fused Pallas
+  kernel is wired behind `rdst_tpu.kernels.window_attention`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from rdst_tpu.nn.layers import DropPath, LayerNorm, Mlp, trunc_normal_init
+
+
+def window_partition(x: jax.Array, window_size: int) -> jax.Array:
+    """(B, H, W, C) -> (B*nW, ws, ws, C)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // window_size, window_size, w // window_size, window_size, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, window_size, window_size, c)
+
+
+def window_reverse(windows: jax.Array, window_size: int, h: int, w: int) -> jax.Array:
+    """(B*nW, ws, ws, C) -> (B, H, W, C)."""
+    b = windows.shape[0] // (h * w // window_size // window_size)
+    x = windows.reshape(b, h // window_size, w // window_size, window_size, window_size, -1)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h, w, -1)
+
+
+@functools.lru_cache(maxsize=64)
+def relative_position_index(wh: int, ww: int) -> np.ndarray:
+    """Pairwise relative-position index (wh*ww, wh*ww) into the bias table.
+
+    Same construction as the reference (swin_transformer_sr.py:88-99), so
+    imported bias tables line up element-for-element.
+    """
+    coords = np.stack(np.meshgrid(np.arange(wh), np.arange(ww), indexing="ij"))
+    flat = coords.reshape(2, -1)
+    rel = flat[:, :, None] - flat[:, None, :]  # 2, N, N
+    rel = rel.transpose(1, 2, 0).astype(np.int64)
+    rel[:, :, 0] += wh - 1
+    rel[:, :, 1] += ww - 1
+    rel[:, :, 0] *= 2 * ww - 1
+    return rel.sum(-1)
+
+
+@functools.lru_cache(maxsize=256)
+def shift_attention_mask(h: int, w: int, window_size: int, shift: int) -> Optional[np.ndarray]:
+    """SW-MSA mask (nW, N, N) with 0 / -100 entries; None when shift == 0.
+
+    Built on the host from static shapes (the 9-region construction of
+    swin_transformer_sr.py:211-232).
+    """
+    if shift == 0:
+        return None
+    img_mask = np.zeros((h, w))
+    slices = (slice(0, -window_size), slice(-window_size, -shift), slice(-shift, None))
+    cnt = 0
+    for hs in slices:
+        for ws_ in slices:
+            img_mask[hs, ws_] = cnt
+            cnt += 1
+    m = img_mask.reshape(h // window_size, window_size, w // window_size, window_size)
+    m = m.transpose(0, 2, 1, 3).reshape(-1, window_size * window_size)
+    diff = m[:, None, :] - m[:, :, None]
+    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+
+
+class WindowAttention(nn.Module):
+    """W-MSA with relative position bias (swin_transformer_sr.py:62-141)."""
+
+    dim: int
+    window_size: Tuple[int, int]
+    num_heads: int
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[jax.Array] = None, deterministic: bool = True):
+        b_, n, c = x.shape
+        head_dim = self.dim // self.num_heads
+        scale = self.qk_scale or head_dim**-0.5
+
+        bias_table = self.param(
+            "relative_position_bias_table",
+            trunc_normal_init,
+            ((2 * self.window_size[0] - 1) * (2 * self.window_size[1] - 1), self.num_heads),
+        )
+        qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype,
+                       kernel_init=trunc_normal_init, name="qkv")(x)
+        qkv = qkv.reshape(b_, n, 3, self.num_heads, head_dim).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+
+        attn = (q * scale) @ k.transpose(0, 1, 3, 2)  # (B_, nH, N, N)
+
+        idx = relative_position_index(*self.window_size).reshape(-1)
+        rel_bias = bias_table[idx].reshape(n, n, self.num_heads).transpose(2, 0, 1)
+        attn = attn + rel_bias[None].astype(attn.dtype)
+
+        if mask is not None:
+            nw = mask.shape[0]
+            attn = attn.reshape(b_ // nw, nw, self.num_heads, n, n)
+            attn = attn + mask[None, :, None].astype(attn.dtype)
+            attn = attn.reshape(-1, self.num_heads, n, n)
+        attn = jax.nn.softmax(attn, axis=-1)
+        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+
+        x = (attn @ v).transpose(0, 2, 1, 3).reshape(b_, n, c)
+        x = nn.Dense(self.dim, dtype=self.dtype, kernel_init=trunc_normal_init,
+                     name="proj")(x)
+        x = nn.Dropout(self.proj_drop)(x, deterministic=deterministic)
+        return x
+
+
+class SwinTransformerBlock(nn.Module):
+    """Pre-LN block: (shifted) W-MSA + MLP, both residual
+    (swin_transformer_sr.py:160-274). Token input (B, L, C) + static x_size.
+    """
+
+    dim: int
+    num_heads: int
+    window_size: int = 7
+    shift_size: int = 0
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: float = 0.0
+    # Build-time resolution for the shift/window clamp decision. The
+    # reference decides `if min(input_resolution) <= window_size: shift=0,
+    # ws=min(res)` in the CONSTRUCTOR from the configured img_size
+    # (swin_transformer_sr.py:188-191) — notably SwinIR's factory shrinks
+    # img_size to (lr_patch//scale//ws+1)*ws, permanently disabling shifts.
+    # None = decide from the runtime x_size.
+    build_resolution: Optional[Tuple[int, int]] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, x_size: Tuple[int, int], deterministic: bool = True):
+        h, w = x_size
+        b, l, c = x.shape
+        ws, shift = self.window_size, self.shift_size
+        decide_res = self.build_resolution or (h, w)
+        if min(decide_res) <= ws:
+            # window larger than (build) input: no partitioning, no shift
+            shift = 0
+            ws = min(decide_res)
+        ws = min(ws, h, w)
+
+        shortcut = x
+        x = LayerNorm(dtype=self.dtype, name="norm1")(x)
+        x = x.reshape(b, h, w, c)
+
+        if shift > 0:
+            x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
+
+        x_windows = window_partition(x, ws).reshape(-1, ws * ws, c)
+
+        mask = shift_attention_mask(h, w, ws, shift)
+        mask = jnp.asarray(mask) if mask is not None else None
+        attn_windows = WindowAttention(
+            dim=self.dim, window_size=(ws, ws), num_heads=self.num_heads,
+            qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
+            attn_drop=self.attn_drop, proj_drop=self.drop,
+            dtype=self.dtype, name="attn",
+        )(x_windows, mask, deterministic)
+
+        x = window_reverse(attn_windows.reshape(-1, ws, ws, c), ws, h, w)
+        if shift > 0:
+            x = jnp.roll(x, (shift, shift), axis=(1, 2))
+        x = x.reshape(b, h * w, c)
+
+        drop_path = DropPath(self.drop_path)
+        x = shortcut + drop_path(x, deterministic)
+        y = Mlp(hidden_features=int(self.dim * self.mlp_ratio), drop=self.drop,
+                dtype=self.dtype, name="mlp")(
+            LayerNorm(dtype=self.dtype, name="norm2")(x), deterministic)
+        return x + drop_path(y, deterministic)
+
+
+class BasicLayer(nn.Module):
+    """Stack of depth blocks, alternating shift 0 / ws//2
+    (swin_transformer_sr.py:343-398)."""
+
+    dim: int
+    depth: int
+    num_heads: int
+    window_size: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: Tuple[float, ...] = ()
+    use_checkpoint: bool = False
+    build_resolution: Optional[Tuple[int, int]] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, x_size, deterministic: bool = True):
+        for i in range(self.depth):
+            dp = self.drop_path[i] if self.drop_path else 0.0
+            block = SwinTransformerBlock(
+                dim=self.dim, num_heads=self.num_heads, window_size=self.window_size,
+                shift_size=0 if i % 2 == 0 else self.window_size // 2,
+                mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
+                drop=self.drop, attn_drop=self.attn_drop, drop_path=dp,
+                build_resolution=self.build_resolution,
+                dtype=self.dtype, name=f"blocks_{i}",
+            )
+            if self.use_checkpoint:
+                block = nn.remat(lambda m, *a: m(*a))(block, x, x_size, deterministic)  # type: ignore
+                x = block
+            else:
+                x = block(x, x_size, deterministic)
+        return x
+
+
+class PatchMerging(nn.Module):
+    """2x2 concat + linear reduction (discriminator path,
+    swin_transformer_sr.py:295-331)."""
+
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, x_size):
+        h, w = x_size
+        b, l, c = x.shape
+        x = x.reshape(b, h, w, c)
+        x = jnp.concatenate(
+            [x[:, 0::2, 0::2], x[:, 1::2, 0::2], x[:, 0::2, 1::2], x[:, 1::2, 1::2]],
+            axis=-1,
+        ).reshape(b, -1, 4 * c)
+        x = LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = nn.Dense(2 * self.dim, use_bias=False, dtype=self.dtype,
+                     kernel_init=trunc_normal_init, name="reduction")(x)
+        return x

@@ -7,12 +7,20 @@ way to test pjit/shard_map meshes). Must run before jax is imported.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force override: the host environment exports JAX_PLATFORMS=axon (TPU)
+# and the axon plugin wins over the env var — use the config API, which
+# does take effect. Tests must run on the virtual CPU mesh with exact
+# f32 matmuls.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 import sys
