@@ -39,6 +39,17 @@ def to_image(x: jax.Array, x_size: Tuple[int, int]) -> jax.Array:
     return x.reshape(b, x_size[0], x_size[1], c)
 
 
+def pad_to_window_multiple(x: jax.Array, multiple: int) -> Tuple[jax.Array, Tuple[int, int]]:
+    """Reflect-pad H,W up to a window multiple (the reference crashes on
+    non-multiple whole-slice inputs; we pad and crop the output instead)."""
+    b, h, w, c = x.shape
+    ph = (-h) % multiple
+    pw = (-w) % multiple
+    if ph or pw:
+        x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
+    return x, (h, w)
+
+
 class DenseSTLayer(nn.Module):
     """DSTL (swinIR_variations.py:21-116): Swin pair + dense concat."""
 
@@ -195,6 +206,7 @@ class RDSTSR(nn.Module):
         num_blocks = len(self.rdb_depths)
         assert num_blocks == len(self.window_size) == len(self.num_heads) == len(self.dense_layer_depths)
 
+        x, orig_hw = pad_to_window_multiple(x, max(self.window_size))
         x = mean_shift(x, self.mean, self.std, "sub")
         x = Conv(self.embed_dim, 3, dtype=self.dtype, name="head")(x)
 
@@ -243,14 +255,16 @@ class RDSTSR(nn.Module):
             from rdst_tpu.models.meta_upscale import MetaUpSampler
 
             out = MetaUpSampler(self.in_chans, dtype=self.dtype, name="tail_meta")(res, sr_scale)
-        else:
-            out = res
-            if self.sr_scale > 1:
-                out = UpSampler(self.sr_scale, self.embed_dim, dtype=self.dtype,
-                                name="tail_up")(out)
-            out = Conv(self.in_chans, 3, dtype=self.dtype, name="tail_conv")(out)
-
-        return mean_shift(out, self.mean, self.std, "add")
+            out = mean_shift(out, self.mean, self.std, "add")
+            return out
+        out = res
+        if self.sr_scale > 1:
+            out = UpSampler(self.sr_scale, self.embed_dim, dtype=self.dtype,
+                            name="tail_up")(out)
+        out = Conv(self.in_chans, 3, dtype=self.dtype, name="tail_conv")(out)
+        out = mean_shift(out, self.mean, self.std, "add")
+        # crop away the window-multiple padding (scaled)
+        return out[:, : orig_hw[0] * self.sr_scale, : orig_hw[1] * self.sr_scale, :]
 
 
 def make_rdst(paras, mean=None, std=None, dtype=jnp.float32) -> RDSTSR:

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from rdst_tpu.models.rdst import to_image, to_tokens
+from rdst_tpu.models.rdst import pad_to_window_multiple, to_image, to_tokens
 from rdst_tpu.nn.common import Conv, mean_shift, pixel_shuffle
 from rdst_tpu.nn.layers import LayerNorm, activation, trunc_normal_init
 from rdst_tpu.nn.swin import BasicLayer
@@ -95,6 +95,7 @@ class SwinIR(nn.Module):
             mean = (0.4488, 0.4371, 0.4040)
         else:
             mean = (0.0,) * self.in_chans
+        x, orig_hw = pad_to_window_multiple(x, self.window_size)
         x = (x - jnp.asarray(mean, x.dtype)) * self.img_range
 
         def forward_features(feat):
@@ -161,7 +162,8 @@ class SwinIR(nn.Module):
             x = x + Conv(self.in_chans, 3, dtype=self.dtype, name="conv_last")(res)
 
         x = x / self.img_range + jnp.asarray(mean, x.dtype)
-        return x
+        scale = self.upscale if self.upsampler in ("pixelshuffle", "pixelshuffledirect", "nearest+conv") else 1
+        return x[:, : orig_hw[0] * scale, : orig_hw[1] * scale, :]
 
 
 def make_swinir(paras, mean=None, std=None, dtype=jnp.float32) -> SwinIR:

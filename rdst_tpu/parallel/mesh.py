@@ -1,0 +1,70 @@
+"""Device mesh and sharding helpers.
+
+The reference is single-GPU (SURVEY §2.11: no distributed code at all);
+this layer is the TPU-native replacement designed in from day one:
+
+* a 1-D ``('data',)`` mesh over all local devices is the default —
+  batch-in-dataset batches shard along it, params are replicated, and
+  XLA/GSPMD inserts the gradient all-reduce over ICI;
+* model/sequence axes can be added later without rewrites: helpers take
+  an axis-spec, not hard-coded names;
+* on one chip everything degrades to no-op shardings (same jitted code).
+
+Multi-host: `initialize_distributed()` wires jax.distributed when the
+env says we're in a pod; harmless locally.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize_distributed() -> None:
+    """Initialize jax.distributed if launched in a multi-host job."""
+    if os.environ.get("COORDINATOR_ADDRESS") and jax.process_count() == 1:
+        jax.distributed.initialize()
+
+
+def make_mesh(axes: Sequence[str] = ("data",), shape: Optional[Sequence[int]] = None,
+              devices=None) -> Mesh:
+    """Mesh over all (or given) devices; default single 'data' axis."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if shape is None:
+        shape = [len(devices)] + [1] * (len(axes) - 1)
+    devices = devices.reshape(shape)
+    return Mesh(devices, tuple(axes))
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dimension over ``axis``."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch, axis: str = "data"):
+    """device_put a host batch with batch-dim sharding (pads if needed).
+
+    The batch size must divide the mesh axis; callers control batch_size
+    so we assert rather than silently pad.
+    """
+    n = mesh.shape[axis]
+    sharding = batch_sharding(mesh, axis)
+
+    def put(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] % n == 0:
+            return jax.device_put(x, sharding)
+        return jax.device_put(x, replicated(mesh))
+
+    return jax.tree.map(put, batch)
+
+
+def replicate_tree(mesh: Mesh, tree):
+    return jax.device_put(tree, replicated(mesh))

@@ -1,0 +1,211 @@
+"""Testing/inference orchestration (TransSRTester equivalent).
+
+Re-design of /root/reference/models/{basic_tester.py:22-415,
+trans_sr_tester.py:28-238}:
+
+* per-patient loop building a fresh per-patient test dataset;
+* result-caching resume: cases with a saved report are skipped
+  (basic_tester.py:148-155);
+* inference batches ALL slices of a patient per scale through one
+  jitted forward and fetches results once (tunnel-readback aware);
+* 'bicubic' model mode is a pass-through that scores the interpolated
+  LR (trans_sr_tester.py:85-98);
+* artifacts: Final_Predictions dir tree, per-case
+  ``{pid}_inference_results.npz`` / ``{pid}_eva_reports.npy``,
+  stacked tabulate summary, testing_log.txt.
+
+Checkpoint loading: native ``.msgpack`` snapshots from the trainer, or
+reference ``.pt`` torch checkpoints through the import bridge.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from os.path import exists, join
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rdst_tpu.data import ops
+from rdst_tpu.data.readers import make_test_dataset, testing_patient_ids
+from rdst_tpu.models import build_generator
+from rdst_tpu.parallel import make_mesh, replicate_tree
+
+
+def _fancy(msg: str) -> str:
+    bar = "#" * max(32, len(msg) + 8)
+    return f"\n{bar}\n#   {msg}\n{bar}\n"
+
+
+class SRTester:
+    def __init__(self, paras):
+        self.paras = paras
+        self.verbose = paras.verbose
+        self.mesh = make_mesh()
+        self.bicubic = paras.get("feature_generator") == "bicubic"
+
+        self.model = None if self.bicubic else build_generator(paras)
+        self.params = None
+        self._eval_fns = {}
+
+        self.patient_ids = testing_patient_ids(paras)
+        self.sr_scales = list(paras.get("sr_scales_for_final_testing",
+                                        paras.test_sr_scales))
+        # test datasets build pairs from test_sr_scales; the tester scores
+        # sr_scales_for_final_testing — align them (the reference relies on
+        # the config keeping both in sync, trans_sr_tester.py:115-122)
+        paras.set("test_sr_scales", self.sr_scales)
+
+        # the tester's eval uses the testing metric set (trans_sr_tester.py:115-122)
+        if "BraTS" in paras.data_folder:
+            from rdst_tpu.metrics.evaluation import MultiModalityMetaSREvaluation
+
+            self.eva_func = MultiModalityMetaSREvaluation(
+                paras.modalities_brats, paras.eva_metrics_for_testing,
+                self.sr_scales, paras.gpu_id, "full")
+        else:
+            from rdst_tpu.metrics.evaluation import MetaSREvaluation
+
+            self.eva_func = MetaSREvaluation(
+                paras.eva_metrics_for_testing, self.sr_scales, paras.gpu_id, "full")
+        gan_type = paras.get("gan_type", "None")
+        self.output_root = join(paras.output_dir,
+                                f"{paras.model_name}_{gan_type}_Final_Predictions")
+        self.dirs = {
+            name: join(self.output_root, name)
+            for name in ("inference_results", "eva_reports", "images")
+        }
+        self.log_file = join(self.output_root, "testing_log.txt")
+
+    # -- setup ---------------------------------------------------------------
+
+    def setup(self):
+        os.makedirs(self.output_root, exist_ok=True)
+        for d in self.dirs.values():
+            os.makedirs(d, exist_ok=True)
+        if self.bicubic:
+            self.write_log(_fancy("Bicubic pass-through mode"))
+            return
+        path = self.paras.get("well_trained_single_scale_model_g") or self.paras.get(
+            "well_trained_model_g_x4")
+        if not path:
+            raise ValueError("no well-trained model path configured")
+        self.params = self.load_params(path)
+        self.params = replicate_tree(self.mesh, self.params)
+        self.write_log(_fancy(f"Loaded well-trained model: {path}"))
+
+    def load_params(self, path: str):
+        stem, ext = os.path.splitext(path)
+        if ext == ".pt" and not exists(path) and exists(stem + ".msgpack"):
+            path, ext = stem + ".msgpack", ".msgpack"
+        if ext == ".msgpack":
+            from flax import serialization
+
+            x0 = jnp.zeros((1, 16, 16, self.paras.input_channel))
+            template = self.model.init(jax.random.PRNGKey(0), x0)
+            with open(path, "rb") as f:
+                return serialization.from_bytes(jax.device_get(template), f.read())
+        if ext in (".pt", ".tar", ".pth"):
+            from rdst_tpu.checkpoint.torch_import import load_torch_checkpoint
+
+            arch = self.paras.feature_generator
+            kwargs = {}
+            if arch == "swinir":
+                kwargs["upsampler"] = self.paras.sir_upsampler
+            return load_torch_checkpoint(path, arch, **kwargs)
+        raise ValueError(f"unknown checkpoint format: {path}")
+
+    # -- inference -------------------------------------------------------------
+
+    def _eval_fn(self, key):
+        if key not in self._eval_fns:
+            model = self.model
+
+            @jax.jit
+            def eval_step(params, x, sr_scale=None):
+                return model.apply(params, x, sr_scale)
+
+            self._eval_fns[key] = eval_step
+        return self._eval_fns[key]
+
+    def inference_patient(self, ds) -> List[Dict[float, np.ndarray]]:
+        """SR all slices of a patient; returns per-slice {scale: HWC}."""
+        pairs = [ds.get_test_pair(i) for i in range(ds.test_len())]
+        recs = [dict() for _ in pairs]
+        for s in self.sr_scales:
+            lr = np.concatenate([p[s]["in"] for p in pairs], axis=0)
+            if self.bicubic:
+                out = np.stack([
+                    ops.resize(x, p[s]["gt"].shape[:2])
+                    for x, p in zip(lr, pairs)
+                ])
+            else:
+                fn = self._eval_fn((lr.shape, s))
+                sr_scale = None
+                if self.paras.scale_free:
+                    sr_scale = jnp.full((lr.shape[0], 1),
+                                        float(pairs[0][s]["real_sr_scale"]))
+                out = np.asarray(fn(self.params, jnp.asarray(lr), sr_scale))
+            for i in range(len(pairs)):
+                recs[i][s] = out[i]
+        return recs, pairs
+
+    # -- evaluation with resume (basic_tester.py:147-189) -----------------------
+
+    def evaluation(self, case_name: str, ds) -> Dict:
+        report_path = join(self.dirs["eva_reports"], f"{case_name}_eva_reports.npy")
+        if exists(report_path):
+            self.write_log(f"{case_name}: cached report found, skipping inference")
+            return np.load(report_path, allow_pickle=True).item()
+
+        t0 = time.time()
+        recs, pairs = self.inference_patient(ds)
+        infer_cost = time.time() - t0
+
+        report = self.eva_func(recs, pairs)
+        if isinstance(report, dict):
+            meta = {"inference_time_cost": infer_cost, "num_slices": len(recs)}
+            np.save(report_path, {"report": report, **meta})
+        # persist SR volumes for the saving scales
+        save_scales = self.paras.get("sr_scales_for_saving", [])
+        to_save = {
+            f"x{s}": np.stack([r[s] for r in recs])
+            for s in save_scales if s in (self.sr_scales or [])
+        }
+        if to_save:
+            np.savez_compressed(
+                join(self.dirs["inference_results"],
+                     f"{case_name}_inference_results.npz"), **to_save)
+        self.write_log(
+            f"{case_name}: {len(recs)} slices, inference {infer_cost:.2f}s "
+            f"({len(recs) * len(self.sr_scales) / max(infer_cost, 1e-9):.1f} slices/s)")
+        return {"report": report, "inference_time_cost": infer_cost,
+                "num_slices": len(recs)}
+
+    # -- main loop ---------------------------------------------------------------
+
+    def test(self):
+        all_reports = []
+        for pid in self.patient_ids:
+            self.write_log(_fancy(f"Testing patient {pid}"))
+            ds = make_test_dataset(self.paras, [pid])
+            result = self.evaluation(pid, ds)
+            all_reports.append(result["report"])
+
+        stacked = self.eva_func.stack_eva_reports(all_reports)
+        summary = self.eva_func.print(stacked)
+        self.write_log(_fancy("All patients complete") + summary)
+        np.save(join(self.output_root, "stacked_eva_reports.npy"), stacked)
+        return stacked
+
+    def write_log(self, plog: str):
+        with open(self.log_file, "a") as f:
+            f.write(plog + "\n")
+        if self.verbose:
+            print(plog, flush=True)
+
+
+TransSRTester = SRTester

@@ -1,0 +1,92 @@
+"""End-to-end smoke: tiny RDST trains, checkpoints, resumes, and tests on
+synthetic OASIS data (the reference's toy_problem-style fixture), on the
+virtual CPU mesh."""
+
+import pathlib
+
+import numpy as np
+import pytest
+
+from rdst_tpu.config import ParametersLoader
+from rdst_tpu.data import synthetic
+
+
+@pytest.fixture(scope="module")
+def e2e_env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    data = root / "OASIS" / "example"
+    synthetic.make_oasis_example(str(data), shape=(40, 48, 40))
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    p = ParametersLoader(str(repo / "config_files" / "rdst_tiny_oasis_x4.ini"))
+    p.set("data_folder", str(data))
+    p.set("output_dir", str(root / "outputs"))
+    p.set("patch_size", 8)
+    p.set("margin_oasis", [2, 2])
+    p.set("batch_size", 8)  # divisible by the 8-device mesh
+    p.set("rdst_embed_dim", 12)
+    p.set("rdst_num_heads", [2, 2])
+    p.set("rdst_window_size", [4, 4])
+    p.set("rdst_dense_layer_depths", [2, 2])
+    p.set("rdst_rdb_depths", [1, 1])
+    p.set("rdst_growth_rate", 12)
+    p.set("epochs_in_total", {"WarmUP": 4})
+    p.set("check_every", 2)
+    p.set("quick_eva_num_samples", 2)
+    p.set("multi_threads", 1)
+    return root, p
+
+
+def test_train_resume_test(e2e_env):
+    root, p = e2e_env
+    from rdst_tpu.data.readers import make_train_valid_datasets
+    from rdst_tpu.runners.trainer import SRTrainer
+
+    ds_train, ds_valid = make_train_valid_datasets(p)
+    trainer = SRTrainer(p, ds_train, ds_valid, seed=0)
+    trainer.setup()
+    trainer.train()
+
+    out = root / "outputs" / "RDST_TINY_OASIS_SRx4_None"
+    assert (out / "models" / "WarmUP_model_g.msgpack").exists()
+    assert (out / "checkpoint" / "host_state.json").exists()
+    assert (out / "training_log.txt").exists()
+    assert len(trainer.training_loss_records["WarmUP"]) == 4
+    assert len(trainer.quick_validation_reports) == 2
+
+    # resume: a fresh trainer restores the completed state and does nothing
+    trainer2 = SRTrainer(p, ds_train, ds_valid, seed=0)
+    trainer2.setup()
+    assert trainer2.current_state_id == 0
+    assert trainer2.current_epoch == 4
+    trainer2.train()  # should complete instantly (0 epochs left)
+    assert trainer2.state.step == 4  # restored counter, no extra steps taken
+
+    # tester loads the snapshot and produces reports with caching
+    from rdst_tpu.runners.tester import SRTester
+
+    p.set("well_trained_single_scale_model_g",
+          str(out / "models" / "WarmUP_model_g.msgpack"))
+    tester = SRTester(p)
+    tester.setup()
+    stacked = tester.test()
+    assert "psnr_4.0" in stacked
+    assert len(stacked["psnr_4.0"]) > 0
+
+    # resume path: second run must reuse cached reports
+    tester2 = SRTester(p)
+    tester2.setup()
+    stacked2 = tester2.test()
+    assert np.allclose(stacked["psnr_4.0"], stacked2["psnr_4.0"])
+
+
+def test_bicubic_tester(e2e_env):
+    root, p = e2e_env
+    from rdst_tpu.runners.tester import SRTester
+
+    q = ParametersLoader.from_dict(p.to_dict())
+    q.set("feature_generator", "bicubic")
+    q.set("model_name", "BICUBIC_TINY")
+    tester = SRTester(q)
+    tester.setup()
+    stacked = tester.test()
+    assert np.mean(stacked["psnr_4.0"]) > 15  # bicubic baseline sanity

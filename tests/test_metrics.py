@@ -30,7 +30,11 @@ class TestIdentities:
         assert im.rase(gt, gt) == 0
         assert im.scc(gt, gt) == pytest.approx(1.0, abs=1e-6)
         assert im.sam(gt, gt) == pytest.approx(0.0, abs=1e-6)
-        assert im.psnrb(gt, gt) == float("inf")
+        # psnrb penalizes blockiness of the prediction even at mse=0,
+        # so identical natural images score finite (sewar semantics)
+        assert im.psnrb(gt, gt) > 20
+        flat = np.zeros_like(gt)
+        assert im.psnrb(flat, flat) == float("inf")  # no blockiness, no error
 
     def test_psnr_analytic(self):
         gt = np.zeros((16, 16, 1))
@@ -124,3 +128,25 @@ class TestMetaSREvaluation:
         gt = rng.random((16, 16, 1))
         report = ev({4.0: gt}, {4.0: {"gt": gt}})
         assert report["psnr_4.0"] == float("inf")
+
+
+class TestDeviceMetrics:
+    """jax_metrics must match the host (skimage-semantics) implementations."""
+
+    def test_psnr_matches_host(self, rng):
+        from rdst_tpu.metrics import jax_metrics
+
+        gt = rng.random((3, 40, 32, 1)).astype(np.float32)
+        pr = np.clip(gt + rng.normal(0, 0.05, gt.shape), 0, 1).astype(np.float32)
+        dev = np.asarray(jax_metrics.psnr(gt, pr))
+        host = [im.psnr(g, p) for g, p in zip(gt, pr)]
+        assert np.allclose(dev, host, atol=1e-4)
+
+    def test_ssim_matches_host(self, rng):
+        from rdst_tpu.metrics import jax_metrics
+
+        gt = rng.random((3, 40, 32, 1)).astype(np.float64)
+        pr = np.clip(gt + rng.normal(0, 0.05, gt.shape), 0, 1)
+        dev = np.asarray(jax_metrics.ssim(gt.astype(np.float32), pr.astype(np.float32)))
+        host = [im.ssim(g, p) for g, p in zip(gt, pr)]
+        assert np.abs(dev - np.asarray(host)).max() < 1e-3, (dev, host)
