@@ -15,6 +15,14 @@ import jax.numpy as jnp
 
 MODEL_REGISTRY: Dict[str, Callable] = {}
 
+BUILTIN_GENERATORS = (
+    "rdst", "swinir", "edsr", "rdn", "rcan", "han",
+    "convnet-large", "convnet-lite", "srresnet", "SRResNet",
+    "srdensenet", "SRDenseNet", "esrgan", "ESRGAN", "mdsr", "MDSR",
+    "metasr", "MetaSR", "ipt", "dbpn", "DBPN", "zssr", "ZSSR",
+    "swinmlp", "swin-mlp", "bicubic",
+)
+
 
 def register(name: str):
     def deco(fn):
@@ -31,7 +39,8 @@ def build_generator(paras, mean=None, std=None, dtype=jnp.float32):
         _load_builtin(name)
     if name not in MODEL_REGISTRY:
         raise ValueError(
-            f"Unknown feature_generator '{name}'. Available: {sorted(MODEL_REGISTRY)}"
+            f"Unknown feature_generator '{name}'. "
+            f"Available: {sorted(set(BUILTIN_GENERATORS) | set(MODEL_REGISTRY))}"
         )
     return MODEL_REGISTRY[name](paras, mean, std, dtype)
 
