@@ -1,0 +1,152 @@
+"""RDSTSR_N — RDST with an RDN-style global bottleneck
+(/root/reference/networks/swinIR_variations.py:599-887).
+
+All RDSTB outputs are concatenated on the channel axis and reduced by an
+MLP (two Linears) or conv (1x1 + 3x3) bottleneck before the global
+residual. Reference quirks kept: the final LayerNorm and conv_after_body
+are constructed but never applied in forward (:846-857, :864-875).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from rdst_tpu.models.rdst import RDSTB, pad_to_window_multiple, to_image, to_tokens
+from rdst_tpu.nn.common import Conv, UpSampler, mean_shift
+from rdst_tpu.nn.layers import LayerNorm, trunc_normal_init
+
+
+class RDSTSR_N(nn.Module):
+    in_chans: int = 1
+    sr_scale: int = 4
+    embed_dim: int = 60
+    dense_layer_depths: Sequence[int] = (2, 2, 2, 2)
+    num_heads: Sequence[int] = (6, 6, 6, 6)
+    window_size: Sequence[int] = (4, 4, 4, 4)
+    rdb_depths: Sequence[int] = (3, 3, 3, 3)
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    drop_rate: float = 0.0
+    attn_drop: float = 0.0
+    ape: bool = False
+    patch_norm: bool = True
+    resi_connection: str = "1conv"
+    growth_rate: int = 30
+    dense_scale: float = 1.0
+    dim_modify_mode: str = "tail"
+    rdb_residual_scale: float = 1.0
+    global_res_scale: float = 1.0
+    mean: Sequence[float] = (0.0,)
+    std: Sequence[float] = (1.0,)
+    scale_free: bool = False
+    pre_norm: bool = False
+    global_bottleneck_ratio: float = 1.0
+    global_bottleneck_mode: str = "mlp"
+    build_resolution: Optional[Tuple[int, int]] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, sr_scale=None, deterministic: bool = True):
+        num_blocks = len(self.rdb_depths)
+        final_channels = int(self.embed_dim * self.global_bottleneck_ratio)
+
+        x, orig_hw = pad_to_window_multiple(x, max(self.window_size))
+        x = mean_shift(x, self.mean, self.std, "sub")
+        x = Conv(self.embed_dim, 3, dtype=self.dtype, name="head")(x)
+
+        tokens, x_size = to_tokens(x)
+        if self.patch_norm:
+            tokens = LayerNorm(dtype=self.dtype, name="patch_embed_norm")(tokens)
+        if self.ape:
+            ape = self.param("absolute_pos_embed", trunc_normal_init,
+                             (1, tokens.shape[1], self.embed_dim))
+            tokens = tokens + ape
+        tokens = nn.Dropout(self.drop_rate)(tokens, deterministic=deterministic)
+
+        feature_maps = []
+        for i in range(num_blocks):
+            tokens = RDSTB(
+                input_dim=self.embed_dim,
+                layer_depth=self.dense_layer_depths[i],
+                num_heads=self.num_heads[i],
+                window_size=self.window_size[i],
+                mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
+                drop=self.drop_rate, attn_drop=self.attn_drop,
+                resi_connection=self.resi_connection,
+                growth_rate=self.growth_rate, dense_scale=self.dense_scale,
+                dim_modify_mode=self.dim_modify_mode,
+                num_blocks=self.rdb_depths[i],
+                residual_scale=self.rdb_residual_scale,
+                pre_norm=self.pre_norm, build_resolution=self.build_resolution,
+                dtype=self.dtype, name=f"body_{i}",
+            )(tokens, x_size, deterministic)
+            feature_maps.append(tokens)
+
+        cat = jnp.concatenate(feature_maps, axis=2)
+        if self.global_bottleneck_mode == "mlp":
+            y = nn.Dense(final_channels, dtype=self.dtype,
+                         kernel_init=trunc_normal_init, name="bottleneck_0")(cat)
+            y = nn.Dense(final_channels, dtype=self.dtype,
+                         kernel_init=trunc_normal_init, name="bottleneck_1")(y)
+            res = to_image(y, x_size)
+        elif self.global_bottleneck_mode == "conv":
+            img = to_image(cat, x_size)
+            y = Conv(final_channels, 1, dtype=self.dtype, name="bottleneck_0")(img)
+            res = Conv(final_channels, 3, dtype=self.dtype, name="bottleneck_1")(y)
+        else:
+            raise ValueError(f"unknown bottleneck mode {self.global_bottleneck_mode}")
+
+        res = res * self.global_res_scale + x
+
+        if self.scale_free:
+            from rdst_tpu.models.meta_upscale import MetaUpSampler
+
+            out = MetaUpSampler(self.in_chans, dtype=self.dtype, name="tail_meta")(res, sr_scale)
+            return mean_shift(out, self.mean, self.std, "add")
+        out = res
+        if self.sr_scale > 1:
+            out = UpSampler(self.sr_scale, final_channels, dtype=self.dtype,
+                            name="tail_up")(out)
+        out = Conv(self.in_chans, 3, dtype=self.dtype, name="tail_conv")(out)
+        out = mean_shift(out, self.mean, self.std, "add")
+        return out[:, : orig_hw[0] * self.sr_scale, : orig_hw[1] * self.sr_scale, :]
+
+
+def make_rdst_n(paras, mean=None, std=None, dtype=jnp.float32) -> RDSTSR_N:
+    return RDSTSR_N(
+        in_chans=paras.input_channel,
+        sr_scale=int(paras.sr_scale),
+        embed_dim=paras.rdst_embed_dim,
+        dense_layer_depths=tuple(paras.rdst_dense_layer_depths),
+        num_heads=tuple(paras.rdst_num_heads),
+        window_size=tuple(paras.rdst_window_size),
+        rdb_depths=tuple(paras.rdst_rdb_depths),
+        mlp_ratio=paras.swin_hidden_ratio,
+        qkv_bias=paras.swin_qkv_bias,
+        qk_scale=paras.swin_qk_scale,
+        drop_rate=paras.swin_drop_rate,
+        attn_drop=paras.swin_attn_drop_rate,
+        ape=paras.rdst_ape,
+        patch_norm=paras.rdst_patch_norm,
+        resi_connection=paras.rdst_res_connection,
+        growth_rate=paras.rdst_growth_rate,
+        dense_scale=paras.rdst_dense_scale,
+        dim_modify_mode=paras.rdst_dim_modify_mode,
+        rdb_residual_scale=paras.rdst_rdb_residual_scale,
+        global_res_scale=paras.rdst_global_res_scale,
+        mean=tuple(mean) if mean is not None else (0.0,) * paras.input_channel,
+        std=tuple(std) if std is not None else (1.0,) * paras.input_channel,
+        scale_free=paras.scale_free,
+        pre_norm=paras.rdst_pre_norm,
+        global_bottleneck_ratio=paras.rdst_global_bottleneck_ratio,
+        global_bottleneck_mode=paras.get("rdst_global_bottleneck_mode", "mlp"),
+        build_resolution=(
+            paras.patch_size // paras.swin_patch_size,
+            paras.patch_size // paras.swin_patch_size,
+        ),
+        dtype=dtype,
+    )

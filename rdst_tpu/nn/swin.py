@@ -111,21 +111,36 @@ class WindowAttention(nn.Module):
         qkv = qkv.reshape(b_, n, 3, self.num_heads, head_dim).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
 
-        attn = (q * scale) @ k.transpose(0, 1, 3, 2)  # (B_, nH, N, N)
-
         idx = relative_position_index(*self.window_size).reshape(-1)
         rel_bias = bias_table[idx].reshape(n, n, self.num_heads).transpose(2, 0, 1)
-        attn = attn + rel_bias[None].astype(attn.dtype)
 
-        if mask is not None:
-            nw = mask.shape[0]
-            attn = attn.reshape(b_ // nw, nw, self.num_heads, n, n)
-            attn = attn + mask[None, :, None].astype(attn.dtype)
-            attn = attn.reshape(-1, self.num_heads, n, n)
-        attn = jax.nn.softmax(attn, axis=-1)
-        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+        from rdst_tpu.kernels import window_attention as wa
 
-        x = (attn @ v).transpose(0, 2, 1, 3).reshape(b_, n, c)
+        use_pallas = (
+            wa.USE_PALLAS_ATTENTION
+            and self.attn_drop == 0.0
+            and self.qk_scale is None
+            and jax.default_backend() == "tpu"
+        )
+        if use_pallas:
+            # combined (nW, nH, N, N) bias: rel-pos (+ shift mask)
+            if mask is not None:
+                bias = rel_bias[None] + mask[:, None]
+            else:
+                bias = rel_bias[None]
+            x = wa.fused_window_attention(q, k, v, bias)
+            x = x.transpose(0, 2, 1, 3).reshape(b_, n, c)
+        else:
+            attn = (q * scale) @ k.transpose(0, 1, 3, 2)  # (B_, nH, N, N)
+            attn = attn + rel_bias[None].astype(attn.dtype)
+            if mask is not None:
+                nw = mask.shape[0]
+                attn = attn.reshape(b_ // nw, nw, self.num_heads, n, n)
+                attn = attn + mask[None, :, None].astype(attn.dtype)
+                attn = attn.reshape(-1, self.num_heads, n, n)
+            attn = jax.nn.softmax(attn, axis=-1)
+            attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+            x = (attn @ v).transpose(0, 2, 1, 3).reshape(b_, n, c)
         x = nn.Dense(self.dim, dtype=self.dtype, kernel_init=trunc_normal_init,
                      name="proj")(x)
         x = nn.Dropout(self.proj_drop)(x, deterministic=deterministic)

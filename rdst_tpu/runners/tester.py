@@ -105,7 +105,7 @@ class SRTester:
             from flax import serialization
 
             x0 = jnp.zeros((1, 16, 16, self.paras.input_channel))
-            template = self.model.init(jax.random.PRNGKey(0), x0)
+            template = jax.jit(self.model.init)(jax.random.PRNGKey(0), x0)
             with open(path, "rb") as f:
                 return serialization.from_bytes(jax.device_get(template), f.read())
         if ext in (".pt", ".tar", ".pth"):

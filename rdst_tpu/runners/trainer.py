@@ -95,6 +95,7 @@ class SRTrainer:
         self.training_epoch_costs: list = []
 
         self.state: Optional[TrainState] = None
+        self.d_state = None  # adversarial discriminator state (params/stats/opt)
         self._eval_fns = {}
 
         # output tree (basic_trainer.py:82-108)
@@ -120,9 +121,15 @@ class SRTrainer:
         sr_scale = None
         if self.paras.scale_free:
             sr_scale = jnp.full((1, 1), float(max(self.ds_train.sr_scales)))
-        params = self.model.init(jax.random.PRNGKey(0), x0, sr_scale)
+        params = jax.jit(self.model.init, static_argnums=())(
+            jax.random.PRNGKey(0), x0, sr_scale)
         opt_state = self.tx.init(params)
         self.state = TrainState(params, opt_state)
+
+        if self.loss.adversarial is not None:
+            hr = int(self.paras.patch_size * max(self.ds_train.sr_scales))
+            hr0 = jnp.zeros((1, hr, hr, self.paras.input_channel), jnp.float32)
+            self.d_state = self.loss.adversarial.init(jax.random.PRNGKey(1), hr0)
 
         if exists(join(self.checkpoint_dir, "host_state.json")):
             self.load_checkpoint()
@@ -140,7 +147,10 @@ class SRTrainer:
 
         path = os.path.abspath(join(self.checkpoint_dir, "state"))
         ckpt = ocp.PyTreeCheckpointer()
-        ckpt.save(path, self.state.tree(), force=True)
+        tree = self.state.tree()
+        if self.d_state is not None:
+            tree = dict(tree, d_state=self.d_state)
+        ckpt.save(path, tree, force=True)
         host = {
             "current_state_id": self.current_state_id,
             "current_epoch": self.current_epoch,
@@ -159,8 +169,13 @@ class SRTrainer:
 
         path = os.path.abspath(join(self.checkpoint_dir, "state"))
         ckpt = ocp.PyTreeCheckpointer()
-        restored = ckpt.restore(path, item=jax.tree.map(np.asarray, self.state.tree()))
+        template = self.state.tree()
+        if self.d_state is not None:
+            template = dict(template, d_state=self.d_state)
+        restored = ckpt.restore(path, item=jax.tree.map(np.asarray, template))
         self.state = TrainState(restored["params"], restored["opt_state"])
+        if self.d_state is not None:
+            self.d_state = restored["d_state"]
         with open(join(self.checkpoint_dir, "host_state.json")) as f:
             host = json.load(f)
         self.current_state_id = host["current_state_id"]
@@ -181,6 +196,11 @@ class SRTrainer:
         with open(path, "wb") as f:
             f.write(serialization.to_bytes(params))
         self.write_log(f"Saved model snapshot: {path}")
+        if self.d_state is not None:
+            dpath = join(self.dirs["models"], f"{training_state}_loss_d.msgpack")
+            with open(dpath, "wb") as f:
+                f.write(serialization.to_bytes(jax.device_get(self.d_state)))
+            self.write_log(f"Saved discriminator snapshot: {dpath}")
 
     # -- jitted steps ---------------------------------------------------------
 
@@ -189,39 +209,65 @@ class SRTrainer:
         threshold = float(self.loss_threshold)
         scale_free = self.paras.scale_free
         model, tx, loss = self.model, self.tx, self.loss
+        adv = self.loss.adversarial
+        gan_active = adv is not None and any("GAN" in n for n in scalars)
 
-        @partial(jax.jit, donate_argnums=(0, 1))
-        def train_step(params, opt_state, batch, rng):
-            def loss_fn(p):
-                kwargs = {}
-                pred = model.apply(
-                    p, batch["in"],
-                    batch.get("sr_scales") if scale_free else None,
-                    deterministic=False,
-                    rngs={"dropout": rng, "droppath": jax.random.fold_in(rng, 1)},
-                )
-                total = jnp.float32(0.0)
-                report = {}
-                for name, scalar in scalars.items():
-                    value = loss.terms[name](pred, batch["out"], batch)
-                    total = total + scalar * value
-                    report[name] = value
-                return total, report
+        def forward(p, batch, rng):
+            return model.apply(
+                p, batch["in"],
+                batch.get("sr_scales") if scale_free else None,
+                deterministic=False,
+                rngs={"dropout": rng, "droppath": jax.random.fold_in(rng, 1)},
+            )
 
-            (total, report), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        def g_loss_and_report(p, batch, rng, d_state):
+            pred = forward(p, batch, rng)
+            if d_state is not None:
+                batch = dict(batch, _adv_state=d_state)
+            total = jnp.float32(0.0)
+            report = {}
+            for name, scalar in scalars.items():
+                value = loss.terms[name](pred, batch["out"], batch)
+                total = total + scalar * value
+                report[name] = value
+            return total, report
+
+        def guarded_update(params, opt_state, grads, total):
             ok = jnp.isfinite(total) & (total < threshold)
 
             def do_update(_):
                 updates, new_opt = tx.update(grads, opt_state, params)
                 return jax.tree.map(lambda a, b: a + b, params, updates), new_opt
 
-            def skip(_):
-                return params, opt_state
+            new_params, new_opt = jax.lax.cond(
+                ok, do_update, lambda _: (params, opt_state), None)
+            return new_params, new_opt, ok
 
-            new_params, new_opt = jax.lax.cond(ok, do_update, skip, None)
-            return new_params, new_opt, total, report, ok
+        if not gan_active:
+            @partial(jax.jit, donate_argnums=(0, 1))
+            def train_step(params, opt_state, batch, rng):
+                (total, report), grads = jax.value_and_grad(
+                    g_loss_and_report, has_aux=True)(params, batch, rng, None)
+                new_params, new_opt, ok = guarded_update(params, opt_state, grads, total)
+                return new_params, new_opt, total, report, ok
 
-        return train_step
+            return train_step
+
+        # alternating GAN step: D update(s) on stop_grad(fake), then G update
+        # against the refreshed discriminator (adversarial.py:63-151 semantics)
+        @partial(jax.jit, donate_argnums=(0, 1, 2))
+        def gan_train_step(params, opt_state, d_state, batch, rng):
+            fake = forward(params, batch, jax.random.fold_in(rng, 7))
+            scales = batch.get("sr_scales")
+            d_state, d_report = adv.d_step(
+                d_state, fake, batch["out"], scales, jax.random.fold_in(rng, 11))
+            (total, report), grads = jax.value_and_grad(
+                g_loss_and_report, has_aux=True)(params, batch, rng, d_state)
+            report.update(d_report)
+            new_params, new_opt, ok = guarded_update(params, opt_state, grads, total)
+            return new_params, new_opt, d_state, total, report, ok
+
+        return gan_train_step
 
     def _eval_fn(self, shape):
         if shape not in self._eval_fns:
@@ -282,9 +328,18 @@ class SRTrainer:
                 device_batch = shard_batch(self.mesh, host_batch)
 
                 self.jax_rng, step_rng = jax.random.split(self.jax_rng)
-                (self.state.params, self.state.opt_state, total, report, ok
-                 ) = step_fn(self.state.params, self.state.opt_state,
-                             device_batch, step_rng)
+                gan_active = (self.loss.adversarial is not None and
+                              any("GAN" in n for n in
+                                  self.loss.loss_scalars[ts]))
+                if gan_active:
+                    (self.state.params, self.state.opt_state, self.d_state,
+                     total, report, ok) = step_fn(
+                        self.state.params, self.state.opt_state, self.d_state,
+                        device_batch, step_rng)
+                else:
+                    (self.state.params, self.state.opt_state, total, report, ok
+                     ) = step_fn(self.state.params, self.state.opt_state,
+                                 device_batch, step_rng)
 
                 self.state.step += 1
                 self.current_epoch += 1
