@@ -105,7 +105,12 @@ class VGGLoss:
         self.model = VGG19Features(tap=self.tap)
         self.variables = variables
         if self.variables is None:
-            self.variables = load_vgg19_params(self.tap)
+            # Minc_VGG* uses the materials-trained VGG19 (reference
+            # loss/esrgan_vgg/minc_vgg_loss.py; blob 'loss/minc_vgg19.pt')
+            path = None
+            if name.startswith("Minc"):
+                path = os.environ.get("RDST_TPU_MINC_VGG19_PT", "weights/minc_vgg19.pt")
+            self.variables = load_vgg19_params(self.tap, path)
         if self.variables is None:
             warnings.warn(
                 f"VGGLoss({name}): no VGG19 weights found; using a frozen "

@@ -20,7 +20,7 @@ BUILTIN_GENERATORS = (
     "convnet-large", "convnet-lite", "srresnet", "SRResNet",
     "srdensenet", "SRDenseNet", "esrgan", "ESRGAN", "mdsr", "MDSR",
     "metasr", "MetaSR", "ipt", "dbpn", "DBPN", "zssr", "ZSSR",
-    "swinmlp", "swin-mlp", "bicubic",
+    "swinmlp", "swin-mlp", "wtb", "wtr", "wtp", "wts", "bicubic",
 )
 
 
@@ -111,3 +111,7 @@ def _load_builtin(name: str) -> None:
         from rdst_tpu.models.swin_mlp import make_swinmlp
 
         MODEL_REGISTRY[name] = make_swinmlp
+    elif name in ("wtb", "wtr", "wtp", "wts"):
+        from rdst_tpu.models.wavelet_sr import make_wavelet_sr
+
+        MODEL_REGISTRY[name] = make_wavelet_sr

@@ -101,6 +101,14 @@ class SegUNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Tuple[list, jax.Array, jax.Array]:
+        # encoder downsamples /32: reflect-pad arbitrary inputs (the
+        # reference reflection-pads to its fixed training size,
+        # seg_unet.py:66-68) and crop spatial outputs back
+        h, w = x.shape[1:3]
+        ph = (-h) % 32
+        pw = (-w) % 32
+        if ph or pw:
+            x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
         feats = ResNet34Encoder(dtype=self.dtype, name="encoder")(x, train)
         skips = [feats[4], feats[3], feats[2], feats[1], None]
         y = feats[5]
@@ -109,6 +117,9 @@ class SegUNet(nn.Module):
         logits = nn.Conv(self.classes, (3, 3), padding=1,
                          kernel_init=torch_conv_init, dtype=self.dtype,
                          name="segmentation_head")(y)
+        if ph or pw:
+            y = y[:, :h, :w, :]
+            logits = logits[:, :h, :w, :]
         return feats, y, logits
 
 
