@@ -105,3 +105,68 @@ class TestSegUNetPadding:
         feats, dec, logits = model.apply(variables, x, train=False)
         assert logits.shape == (1, 88, 104, 4)
         assert dec.shape[:3] == (1, 88, 104)
+
+
+class TestInceptionFID:
+    def test_architecture_matches_torchvision_size(self):
+        import jax
+        import jax.numpy as jnp
+
+        from rdst_tpu.metrics.inception import InceptionV3Pool3
+
+        m = InceptionV3Pool3()
+        v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 75, 75, 3)))
+        n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(v["params"]))
+        assert 21_700_000 < n < 21_900_000  # torchvision inception_v3 features
+        y = m.apply(v, jnp.zeros((2, 75, 75, 3)))
+        assert y.shape == (2, 2048)
+
+    def test_weight_import_roundtrip(self):
+        """flax tree -> torch-format keys -> importer -> identical tree."""
+        import jax
+        import jax.numpy as jnp
+        import torch
+        from flax.traverse_util import flatten_dict
+
+        from rdst_tpu.metrics.inception import (
+            InceptionV3Pool3,
+            load_fid_inception_params,
+        )
+
+        m = InceptionV3Pool3()
+        v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 75, 75, 3)))
+
+        sd = {}
+        for path, val in flatten_dict(v["params"]).items():
+            *mod, layer, leaf = path
+            base = ".".join(mod)
+            if layer == "conv" and leaf == "kernel":
+                sd[f"{base}.conv.weight"] = torch.from_numpy(
+                    np.asarray(val).transpose(3, 2, 0, 1).copy())
+            elif layer == "bn":
+                name = {"scale": "weight", "bias": "bias"}[leaf]
+                sd[f"{base}.bn.{name}"] = torch.from_numpy(np.asarray(val).copy())
+        for path, val in flatten_dict(v["batch_stats"]).items():
+            *mod, _, leaf = path
+            base = ".".join(mod)
+            name = {"mean": "running_mean", "var": "running_var"}[leaf]
+            sd[f"{base}.bn.{name}"] = torch.from_numpy(np.asarray(val).copy())
+        sd["fc.weight"] = torch.zeros(1000, 2048)  # must be skipped
+
+        import tempfile, os
+
+        with tempfile.NamedTemporaryFile(suffix=".pth", delete=False) as f:
+            torch.save(sd, f.name)
+            path = f.name
+        try:
+            restored = load_fid_inception_params(path)
+        finally:
+            os.unlink(path)
+
+        want = flatten_dict(v["params"])
+        got = flatten_dict(restored["params"])
+        assert set(want) == set(got)
+        for k in want:
+            assert np.allclose(np.asarray(want[k]), got[k]), k
+        assert set(flatten_dict(v["batch_stats"])) == set(
+            flatten_dict(restored["batch_stats"]))
