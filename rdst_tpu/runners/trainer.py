@@ -291,6 +291,7 @@ class SRTrainer:
     # -- main loop ------------------------------------------------------------
 
     def train(self):
+        steps_this_run = 0
         for sid in range(self.current_state_id, len(self.training_states)):
             ts = self.training_states[sid]
             self.current_state_id = sid
@@ -316,9 +317,6 @@ class SRTrainer:
                 if batch is None:
                     break
                 timer.tic()
-                device_batch = {
-                    "in": None, "out": None,
-                }
                 host_batch = {"in": batch["in"], "out": batch["out"]}
                 if "seg_gt" in batch:
                     host_batch["seg_gt"] = batch["seg_gt"]
@@ -343,6 +341,7 @@ class SRTrainer:
 
                 self.state.step += 1
                 self.current_epoch += 1
+                steps_this_run += 1
                 # host-side records: fetch scalars (cheap, but still a sync —
                 # accept it; scalars are tiny and this matches step pacing)
                 total_f = float(total)
@@ -362,7 +361,7 @@ class SRTrainer:
             self.save_models(ts)
             self.write_log(self.final_eva(ts))
             self.current_epoch = 0
-        self.training_complete()
+        self.training_complete(steps_this_run)
 
     # -- evaluation -----------------------------------------------------------
 
@@ -452,14 +451,17 @@ class SRTrainer:
                 self.quick_validation_reports, self.dirs["plots"],
                 prefix="quick_eva", step=self.check_every)
 
-    def training_complete(self):
+    def training_complete(self, steps_this_run: int = None):
         summary = {
             "training_loss_records": self.training_loss_records,
             "training_epoch_costs": self.training_epoch_costs,
         }
         np.save(join(self.dirs["final_results"], "training_records.npy"),
                 np.asarray(summary, dtype=object))
-        if self.training_epoch_costs:
+        if steps_this_run == 0:
+            self.write_log(fancy_print(
+                "Training already complete (resumed checkpoint, 0 new epochs)"))
+        elif self.training_epoch_costs:
             self.write_log(fancy_print(
                 f"Training complete: {len(self.training_epoch_costs)} epochs, "
                 f"{np.mean(self.training_epoch_costs):.3f}s/epoch"))
