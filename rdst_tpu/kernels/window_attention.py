@@ -11,9 +11,14 @@ Layout: q/k/v (B_, nH, N, hd); the combined bias (relative-position
 bias + optional shift mask) is (nW, nH, N, N) and is indexed modulo nW
 through the BlockSpec index_map (windows repeat per image).
 
-The kernel is gated: `rdst_tpu.kernels.USE_PALLAS_ATTENTION` (env
-RDST_TPU_PALLAS=1) — models fall back to the pure-XLA path otherwise,
-which the microbenchmark in tests/perf can compare against.
+Gating + measurements (v5e-lite, RDST-E1, OASIS x4, bf16, 128-slice
+volumes): XLA fusion 669 slices/s; attention-only kernel
+(RDST_TPU_PALLAS=1) 377; fused qkv+attn+proj block kernel
+(RDST_TPU_PALLAS=block) 503. The model is HBM-bound (~1.3 GB/slice
+traffic) and the kernels do cut traffic, but per-head hd=10..25 matmuls
+serialize poorly against XLA's giant batched GEMMs, so the kernels stay
+OFF by default at these shapes. They win when window/head dims grow —
+re-measure per config.
 """
 
 from __future__ import annotations
@@ -97,3 +102,90 @@ def reference_window_attention(q, k, v, bias):
 
 
 USE_PALLAS_ATTENTION = os.environ.get("RDST_TPU_PALLAS", "0") == "1"
+
+
+def pallas_mode():
+    """'' (off) | '1' (attention-only kernel) | 'block' (fused qkv+attn+proj)."""
+    mode = os.environ.get("RDST_TPU_PALLAS", "0")
+    if mode in ("0", "", "false"):
+        return "" if not USE_PALLAS_ATTENTION else "1"
+    return mode
+
+
+def _block_kernel(scale, nH, hd, x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+                  b_ref, o_ref):
+    """Whole attention block per tile: qkv proj -> attention -> out proj.
+
+    x: (1, T*N, C); wqkv: (3, nH, C, hd); bqkv: (3, nH, hd);
+    wproj: (nH, hd, C); bproj: (1, C); bias: (1, nH, T, N, N).
+    """
+    x = x_ref[0]  # (T*N, C)
+    tn, c = x.shape
+    t = b_ref.shape[2]
+    n = tn // t
+    acc = jnp.zeros((tn, c), jnp.float32)
+    for h in range(nH):
+        q = jnp.dot(x, wqkv_ref[0, h], preferred_element_type=jnp.float32) + bqkv_ref[0, h]
+        k = jnp.dot(x, wqkv_ref[1, h], preferred_element_type=jnp.float32) + bqkv_ref[1, h]
+        v = jnp.dot(x, wqkv_ref[2, h], preferred_element_type=jnp.float32) + bqkv_ref[2, h]
+        q = q.reshape(t, n, hd)
+        k = k.reshape(t, n, hd)
+        v = v.reshape(t, n, hd)
+        attn = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        attn = attn + b_ref[0, h].astype(attn.dtype)
+        attn = jax.nn.softmax(attn, axis=-1)
+        oh = jax.lax.dot_general(
+            attn, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).reshape(tn, hd)
+        acc = acc + jnp.dot(oh, wproj_ref[h], preferred_element_type=jnp.float32)
+    o_ref[0] = (acc + bproj_ref[0]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+def fused_attention_block(x_windows, wqkv, bqkv, wproj, bproj, bias, *,
+                          num_heads: int, interpret: bool = False):
+    """Full window-attention block (qkv -> attn -> proj) in one kernel.
+
+    x_windows: (B_, N, C); wqkv: (C, 3C); bqkv: (3C,) or None;
+    wproj: (C, C); bproj: (C,); bias: (nW, nH, N, N).
+    Returns (B_, N, C). The (B_, nH, N, N) attention tensor, q/k/v, and
+    the pre-proj head outputs never touch HBM.
+    """
+    b_, n, c = x_windows.shape
+    nw, nh = bias.shape[:2]
+    hd = c // num_heads
+    assert b_ % nw == 0
+    scale = hd**-0.5
+    t = nw
+    grid = (b_ // t,)
+
+    # (C, 3C) with output layout (3, nH, hd) fastest-last -> (3, nH, C, hd)
+    wqkv_r = wqkv.reshape(c, 3, nh, hd).transpose(1, 2, 0, 3)
+    if bqkv is None:
+        bqkv_r = jnp.zeros((3, nh, hd), wqkv.dtype)
+    else:
+        bqkv_r = bqkv.reshape(3, nh, hd)
+    wproj_r = wproj.reshape(nh, hd, c)
+    bias_r = bias.transpose(1, 0, 2, 3)[None]  # (1, nH, nW, N, N)
+    xg = x_windows.reshape(b_ // t, t * n, c)
+
+    kernel = functools.partial(_block_kernel, scale, nh, hd)
+    vm = {} if (pltpu is None or interpret) else {"memory_space": pltpu.VMEM}
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, t * n, c), lambda i: (i, 0, 0), **vm),
+            pl.BlockSpec((3, nh, c, hd), lambda i: (0, 0, 0, 0), **vm),
+            pl.BlockSpec((3, nh, hd), lambda i: (0, 0, 0), **vm),
+            pl.BlockSpec((nh, hd, c), lambda i: (0, 0, 0), **vm),
+            pl.BlockSpec((1, c), lambda i: (0, 0), **vm),
+            pl.BlockSpec((1, nh, t, n, n), lambda i: (0, 0, 0, 0, 0), **vm),
+        ],
+        out_specs=pl.BlockSpec((1, t * n, c), lambda i: (i, 0, 0), **vm),
+        out_shape=jax.ShapeDtypeStruct(xg.shape, x_windows.dtype),
+        interpret=interpret,
+    )(xg, wqkv_r, bqkv_r, wproj_r, bproj.reshape(1, c), bias_r)
+    return out.reshape(b_, n, c)

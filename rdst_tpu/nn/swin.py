@@ -83,6 +83,22 @@ def shift_attention_mask(h: int, w: int, window_size: int, shift: int) -> Option
     return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
 
 
+class _LinearParams(nn.Module):
+    """Declares kernel/bias at the same tree path as nn.Dense would."""
+
+    features_in: int
+    features_out: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", trunc_normal_init,
+                            (self.features_in, self.features_out))
+        bias = (self.param("bias", nn.initializers.zeros, (self.features_out,))
+                if self.use_bias else None)
+        return kernel, bias
+
+
 class WindowAttention(nn.Module):
     """W-MSA with relative position bias (swin_transformer_sr.py:62-141)."""
 
@@ -106,21 +122,19 @@ class WindowAttention(nn.Module):
             trunc_normal_init,
             ((2 * self.window_size[0] - 1) * (2 * self.window_size[1] - 1), self.num_heads),
         )
-        qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype,
-                       kernel_init=trunc_normal_init, name="qkv")(x)
-        qkv = qkv.reshape(b_, n, 3, self.num_heads, head_dim).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]
+        wqkv, bqkv = _LinearParams(self.dim, self.dim * 3, self.qkv_bias,
+                                   name="qkv")()
+        wproj, bproj = _LinearParams(self.dim, self.dim, True, name="proj")()
 
         idx = relative_position_index(*self.window_size).reshape(-1)
         rel_bias = bias_table[idx].reshape(n, n, self.num_heads).transpose(2, 0, 1)
 
         from rdst_tpu.kernels import window_attention as wa
 
+        mode = wa.pallas_mode()
         use_pallas = (
-            wa.USE_PALLAS_ATTENTION
-            and self.attn_drop == 0.0
-            and self.qk_scale is None
-            and jax.default_backend() == "tpu"
+            mode and self.attn_drop == 0.0 and self.proj_drop == 0.0
+            and self.qk_scale is None and jax.default_backend() == "tpu"
         )
         if use_pallas:
             # combined (nW, nH, N, N) bias: rel-pos (+ shift mask)
@@ -128,9 +142,25 @@ class WindowAttention(nn.Module):
                 bias = rel_bias[None] + mask[:, None]
             else:
                 bias = rel_bias[None]
-            x = wa.fused_window_attention(q, k, v, bias)
-            x = x.transpose(0, 2, 1, 3).reshape(b_, n, c)
+            if mode == "block":
+                return wa.fused_attention_block(
+                    x.astype(self.dtype), wqkv.astype(self.dtype),
+                    None if bqkv is None else bqkv.astype(self.dtype),
+                    wproj.astype(self.dtype), bproj.astype(self.dtype),
+                    bias.astype(self.dtype), num_heads=self.num_heads)
+            # attention-only kernel: qkv/proj matmuls stay in XLA
+            qkv = (x.astype(self.dtype) @ wqkv.astype(self.dtype))
+            if bqkv is not None:
+                qkv = qkv + bqkv.astype(self.dtype)
+            qkv = qkv.reshape(b_, n, 3, self.num_heads, head_dim).transpose(2, 0, 3, 1, 4)
+            y = wa.fused_window_attention(qkv[0], qkv[1], qkv[2], bias)
+            y = y.transpose(0, 2, 1, 3).reshape(b_, n, c)
         else:
+            qkv = x.astype(self.dtype) @ wqkv.astype(self.dtype)
+            if bqkv is not None:
+                qkv = qkv + bqkv.astype(self.dtype)
+            qkv = qkv.reshape(b_, n, 3, self.num_heads, head_dim).transpose(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]
             attn = (q * scale) @ k.transpose(0, 1, 3, 2)  # (B_, nH, N, N)
             attn = attn + rel_bias[None].astype(attn.dtype)
             if mask is not None:
@@ -140,11 +170,9 @@ class WindowAttention(nn.Module):
                 attn = attn.reshape(-1, self.num_heads, n, n)
             attn = jax.nn.softmax(attn, axis=-1)
             attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
-            x = (attn @ v).transpose(0, 2, 1, 3).reshape(b_, n, c)
-        x = nn.Dense(self.dim, dtype=self.dtype, kernel_init=trunc_normal_init,
-                     name="proj")(x)
-        x = nn.Dropout(self.proj_drop)(x, deterministic=deterministic)
-        return x
+            y = (attn @ v).transpose(0, 2, 1, 3).reshape(b_, n, c)
+        y = y @ wproj.astype(self.dtype) + bproj.astype(self.dtype)
+        return nn.Dropout(self.proj_drop)(y, deterministic=deterministic)
 
 
 class SwinTransformerBlock(nn.Module):
