@@ -1,0 +1,132 @@
+"""Flax params -> torch state_dict bridge (the inverse of torch_import).
+
+Lets models trained in rdst_tpu be loaded by the reference PyTorch
+framework (RDSTSR / SwinIR layouts). MeanShift convs are reconstructed
+from the (mean, std) config values (they are frozen closed-form layers,
+networks/common.py:151-167); rel-pos index / attn-mask buffers are left
+to the torch module's own registration (load with strict=False).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Sequence
+
+import numpy as np
+
+
+def _conv_w(v):  # HWIO -> OIHW
+    return np.ascontiguousarray(np.asarray(v).transpose(3, 2, 0, 1))
+
+
+def _linear_w(v):  # (in, out) -> (out, in)
+    return np.ascontiguousarray(np.asarray(v).T)
+
+
+def _mean_shift_entries(mean: Sequence[float], std: Sequence[float]) -> Dict[str, np.ndarray]:
+    mean = np.asarray(mean, np.float32)
+    std = np.asarray(std, np.float32)
+    nc = len(mean)
+    eye = np.eye(nc, dtype=np.float32).reshape(nc, nc, 1, 1)
+    return {
+        "sub_mean.weight": eye / std.reshape(nc, 1, 1, 1),
+        "sub_mean.bias": -mean / std,
+        "add_mean.weight": eye * std.reshape(nc, 1, 1, 1),
+        "add_mean.bias": mean.copy(),
+    }
+
+
+def _swin_leaf(flax_path: str, value):
+    """Translate the inner Swin-block part of a flax path."""
+    p = flax_path
+    p = re.sub(r"blocks_(\d+)", r"blocks.\1", p)
+    p = p.replace("/attn/qkv/kernel", ".attn.qkv.weight")
+    p = p.replace("/attn/qkv/bias", ".attn.qkv.bias")
+    p = p.replace("/attn/proj/kernel", ".attn.proj.weight")
+    p = p.replace("/attn/proj/bias", ".attn.proj.bias")
+    p = p.replace("/attn/relative_position_bias_table",
+                  ".attn.relative_position_bias_table")
+    p = p.replace("/mlp/fc1/kernel", ".mlp.fc1.weight")
+    p = p.replace("/mlp/fc1/bias", ".mlp.fc1.bias")
+    p = p.replace("/mlp/fc2/kernel", ".mlp.fc2.weight")
+    p = p.replace("/mlp/fc2/bias", ".mlp.fc2.bias")
+    p = p.replace("/norm1/scale", ".norm1.weight")
+    p = p.replace("/norm1/bias", ".norm1.bias")
+    p = p.replace("/norm2/scale", ".norm2.weight")
+    p = p.replace("/norm2/bias", ".norm2.bias")
+    p = p.replace("/", ".")
+    if p.endswith(".weight") and np.asarray(value).ndim == 2:
+        value = _linear_w(value)
+    return p, np.asarray(value)
+
+
+def export_rdstsr(params, mean=(0.0,), std=(1.0,)) -> Dict[str, np.ndarray]:
+    """Flax RDSTSR params -> reference RDSTSR state_dict (numpy values)."""
+    from flax.traverse_util import flatten_dict
+
+    flat = flatten_dict(params["params"] if "params" in params else params)
+    sd: Dict[str, np.ndarray] = dict(_mean_shift_entries(mean, std))
+    for path, v in flat.items():
+        p = "/".join(path)
+        v = np.asarray(v)
+        if p.startswith("head/conv/"):
+            sd["head." + p.split("/")[-1].replace("kernel", "weight")] = (
+                _conv_w(v) if v.ndim == 4 else v)
+        elif p.startswith("patch_embed_norm/"):
+            leaf = "weight" if p.endswith("scale") else "bias"
+            sd[f"patch_embed.norm.{leaf}"] = v
+        elif p == "absolute_pos_embed":
+            sd["absolute_pos_embed"] = v
+        elif p.startswith("norm/"):
+            leaf = "weight" if p.endswith("scale") else "bias"
+            sd[f"norm.{leaf}"] = v
+        elif p.startswith("conv_after_body"):
+            m = re.match(r"conv_after_body(?:_(\d+))?/conv/(kernel|bias)", p)
+            idx = f".{m.group(1)}" if m.group(1) else ""
+            leaf = "weight" if m.group(2) == "kernel" else "bias"
+            sd[f"conv_after_body{idx}.{leaf}"] = _conv_w(v) if v.ndim == 4 else v
+        elif p.startswith("tail_up/"):
+            m = re.match(r"tail_up/conv_(\d+)/conv/(kernel|bias)", p)
+            leaf = "weight" if m.group(2) == "kernel" else "bias"
+            sd[f"tail.0.{2 * int(m.group(1))}.{leaf}"] = (
+                _conv_w(v) if v.ndim == 4 else v)
+        elif p.startswith("tail_conv/"):
+            leaf = "weight" if p.endswith("kernel") else "bias"
+            sd[f"tail.1.{leaf}"] = _conv_w(v) if v.ndim == 4 else v
+        elif p.startswith("body_"):
+            # body_{i}/body_{j}/(head|tail)_{k} adapters, /body/blocks_{k},
+            # /conv(_k) bottleneck
+            q = re.sub(r"^body_(\d+)", r"body.\1", p)
+            q = re.sub(r"/body_(\d+)", r"/body.\1", q)
+            m = re.search(r"/(head|tail)_(\d+)/(kernel|bias|scale)$", q)
+            if m:
+                base = q[: m.start()].replace("/", ".")
+                leaf = "weight" if m.group(3) in ("kernel", "scale") else "bias"
+                val = _linear_w(v) if (m.group(3) == "kernel" and v.ndim == 2) else v
+                sd[f"{base}.{m.group(1)}.{m.group(2)}.{leaf}"] = val
+                continue
+            m = re.search(r"/conv(?:_(\d+))?/conv/(kernel|bias)$", q)
+            if m:
+                base = q[: m.start()].replace("/", ".")
+                idx = f".{m.group(1)}" if m.group(1) else ""
+                leaf = "weight" if m.group(2) == "kernel" else "bias"
+                sd[f"{base}.conv{idx}.{leaf}"] = _conv_w(v) if v.ndim == 4 else v
+                continue
+            # swin block innards under .../body/blocks_k/...
+            head, _, rest = q.partition("/body/")
+            key, val = _swin_leaf("/" + rest, v)
+            sd[head.replace("/", ".") + ".body" + key] = val
+        else:
+            raise KeyError(f"unmapped flax path for export: {p}")
+    return sd
+
+
+def save_torch_checkpoint(params, path: str, arch: str = "rdst",
+                          mean=(0.0,), std=(1.0,)) -> None:
+    import torch
+
+    if arch != "rdst":
+        raise NotImplementedError("export currently supports the RDSTSR layout")
+    sd = export_rdstsr(params, mean, std)
+    torch.save({k: torch.from_numpy(np.ascontiguousarray(v).copy())
+                for k, v in sd.items()}, path)

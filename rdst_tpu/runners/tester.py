@@ -122,11 +122,14 @@ class SRTester:
 
     def _eval_fn(self, key):
         if key not in self._eval_fns:
+            import functools
+
             model = self.model
 
-            @jax.jit
-            def eval_step(params, x, sr_scale=None):
-                return model.apply(params, x, sr_scale)
+            @functools.partial(jax.jit, static_argnums=(2,))
+            def eval_step(params, x, sr_factor, sr_scale=None):
+                return model.apply(params, x, sr_scale if sr_scale is not None
+                                   else sr_factor)
 
             self._eval_fns[key] = eval_step
         return self._eval_fns[key]
@@ -148,7 +151,7 @@ class SRTester:
                 if self.paras.scale_free:
                     sr_scale = jnp.full((lr.shape[0], 1),
                                         float(pairs[0][s]["real_sr_scale"]))
-                out = np.asarray(fn(self.params, jnp.asarray(lr), sr_scale))
+                out = np.asarray(fn(self.params, jnp.asarray(lr), float(s), sr_scale))
             for i in range(len(pairs)):
                 recs[i][s] = out[i]
         return recs, pairs

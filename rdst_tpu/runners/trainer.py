@@ -118,11 +118,24 @@ class SRTrainer:
 
         x0 = jnp.zeros((1, self.paras.patch_size, self.paras.patch_size,
                         self.paras.input_channel), jnp.float32)
-        sr_scale = None
         if self.paras.scale_free:
             sr_scale = jnp.full((1, 1), float(max(self.ds_train.sr_scales)))
-        params = jax.jit(self.model.init, static_argnums=())(
-            jax.random.PRNGKey(0), x0, sr_scale)
+            params = jax.jit(self.model.init)(jax.random.PRNGKey(0), x0, sr_scale)
+        else:
+            # touch every training scale at init: the multi-scale conv
+            # families (MDSR/IPT) create per-scale heads/tails lazily;
+            # single-scale models ignore the argument
+            scales = sorted({float(s) for s in self.ds_train.sr_scales})
+
+            def init_method(mdl, x):
+                out = None
+                for s in scales:
+                    out = mdl(x, s)
+                return out
+
+            params = jax.jit(
+                lambda r, x: self.model.init(r, x, method=init_method)
+            )(jax.random.PRNGKey(0), x0)
         opt_state = self.tx.init(params)
         self.state = TrainState(params, opt_state)
 
@@ -212,16 +225,19 @@ class SRTrainer:
         adv = self.loss.adversarial
         gan_active = adv is not None and any("GAN" in n for n in scalars)
 
-        def forward(p, batch, rng):
+        def forward(p, batch, rng, sr_factor):
+            # scale_free models take a traced per-item scale column; the
+            # multi-scale conv families (MDSR/IPT) take the batch's scale as
+            # a static python float (one compiled step per scale bucket)
+            sr_arg = batch.get("sr_scales") if scale_free else sr_factor
             return model.apply(
-                p, batch["in"],
-                batch.get("sr_scales") if scale_free else None,
+                p, batch["in"], sr_arg,
                 deterministic=False,
                 rngs={"dropout": rng, "droppath": jax.random.fold_in(rng, 1)},
             )
 
-        def g_loss_and_report(p, batch, rng, d_state):
-            pred = forward(p, batch, rng)
+        def g_loss_and_report(p, batch, rng, d_state, sr_factor):
+            pred = forward(p, batch, rng, sr_factor)
             if d_state is not None:
                 batch = dict(batch, _adv_state=d_state)
             total = jnp.float32(0.0)
@@ -244,10 +260,10 @@ class SRTrainer:
             return new_params, new_opt, ok
 
         if not gan_active:
-            @partial(jax.jit, donate_argnums=(0, 1))
-            def train_step(params, opt_state, batch, rng):
+            @partial(jax.jit, donate_argnums=(0, 1), static_argnums=(4,))
+            def train_step(params, opt_state, batch, rng, sr_factor):
                 (total, report), grads = jax.value_and_grad(
-                    g_loss_and_report, has_aux=True)(params, batch, rng, None)
+                    g_loss_and_report, has_aux=True)(params, batch, rng, None, sr_factor)
                 new_params, new_opt, ok = guarded_update(params, opt_state, grads, total)
                 return new_params, new_opt, total, report, ok
 
@@ -255,14 +271,14 @@ class SRTrainer:
 
         # alternating GAN step: D update(s) on stop_grad(fake), then G update
         # against the refreshed discriminator (adversarial.py:63-151 semantics)
-        @partial(jax.jit, donate_argnums=(0, 1, 2))
-        def gan_train_step(params, opt_state, d_state, batch, rng):
-            fake = forward(params, batch, jax.random.fold_in(rng, 7))
+        @partial(jax.jit, donate_argnums=(0, 1, 2), static_argnums=(5,))
+        def gan_train_step(params, opt_state, d_state, batch, rng, sr_factor):
+            fake = forward(params, batch, jax.random.fold_in(rng, 7), sr_factor)
             scales = batch.get("sr_scales")
             d_state, d_report = adv.d_step(
                 d_state, fake, batch["out"], scales, jax.random.fold_in(rng, 11))
             (total, report), grads = jax.value_and_grad(
-                g_loss_and_report, has_aux=True)(params, batch, rng, d_state)
+                g_loss_and_report, has_aux=True)(params, batch, rng, d_state, sr_factor)
             report.update(d_report)
             new_params, new_opt, ok = guarded_update(params, opt_state, grads, total)
             return new_params, new_opt, d_state, total, report, ok
@@ -273,9 +289,10 @@ class SRTrainer:
         if shape not in self._eval_fns:
             model = self.model
 
-            @jax.jit
-            def eval_step(params, x, sr_scale=None):
-                return model.apply(params, x, sr_scale)
+            @partial(jax.jit, static_argnums=(2,))
+            def eval_step(params, x, sr_factor, sr_scale=None):
+                return model.apply(params, x, sr_scale if sr_scale is not None
+                                   else sr_factor)
 
             self._eval_fns[shape] = eval_step
         return self._eval_fns[shape]
@@ -329,15 +346,16 @@ class SRTrainer:
                 gan_active = (self.loss.adversarial is not None and
                               any("GAN" in n for n in
                                   self.loss.loss_scalars[ts]))
+                sr_factor = float(batch["sr_factor"])
                 if gan_active:
                     (self.state.params, self.state.opt_state, self.d_state,
                      total, report, ok) = step_fn(
                         self.state.params, self.state.opt_state, self.d_state,
-                        device_batch, step_rng)
+                        device_batch, step_rng, sr_factor)
                 else:
                     (self.state.params, self.state.opt_state, total, report, ok
                      ) = step_fn(self.state.params, self.state.opt_state,
-                                 device_batch, step_rng)
+                                 device_batch, step_rng, sr_factor)
 
                 self.state.step += 1
                 self.current_epoch += 1
@@ -376,7 +394,7 @@ class SRTrainer:
             sr_scale = None
             if self.paras.scale_free:
                 sr_scale = jnp.full((lr.shape[0], 1), float(pairs[0][s]["real_sr_scale"]))
-            out = np.asarray(fn(self.state.params, jnp.asarray(lr), sr_scale))
+            out = np.asarray(fn(self.state.params, jnp.asarray(lr), float(s), sr_scale))
             for i in range(len(ids)):
                 recs[i][s] = out[i]
         return recs, pairs

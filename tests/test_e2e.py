@@ -90,3 +90,32 @@ def test_bicubic_tester(e2e_env):
     tester.setup()
     stacked = tester.test()
     assert np.mean(stacked["psnr_4.0"]) > 15  # bicubic baseline sanity
+
+
+def test_multi_scale_mdsr_training(e2e_env):
+    """all_sr_scales=[2,3,4] with MDSR: per-scale compiled steps + eval."""
+    root, base = e2e_env
+    from rdst_tpu.config import ParametersLoader
+    from rdst_tpu.data.readers import make_train_valid_datasets
+    from rdst_tpu.runners.trainer import SRTrainer
+
+    p = ParametersLoader.from_dict(base.to_dict())
+    p.set("model_name", "MDSR_TINY")
+    p.set("feature_generator", "mdsr")
+    p.set("mdsr_n_resblocks", 1)
+    p.set("mdsr_n_feats", 8)
+    p.set("all_sr_scales", [2.0, 4.0])
+    p.set("test_sr_scales", [2.0, 4.0])
+    p.set("epochs_in_total", {"WarmUP": 6})
+    p.set("check_every", 6)
+    p.set("quick_eva_num_samples", 2)
+    p.set("batch_size", 8)
+
+    ds_train, ds_valid = make_train_valid_datasets(p)
+    trainer = SRTrainer(p, ds_train, ds_valid, seed=0)
+    trainer.setup()
+    trainer.train()
+    # both scales must have been trained and evaluated
+    assert len(trainer.training_loss_records["WarmUP"]) == 6
+    report = trainer.quick_validation_reports[-1]
+    assert "psnr_2.0" in report and "psnr_4.0" in report

@@ -115,3 +115,34 @@ class TestSwinIRParity:
         verify_params_match(params, jmodel.init(jax.random.PRNGKey(0), x))
         got = np.asarray(jmodel.apply(params, x))
         assert np.abs(got - want).max() < 2e-4
+
+
+class TestTorchExport:
+    def test_flax_to_torch_roundtrip_forward(self, ref):
+        """Export flax RDST params to a torch state_dict, load into the
+        reference model, and compare outputs (full interchange)."""
+        import jax
+
+        from rdst_tpu.checkpoint.torch_export import export_rdstsr
+        from rdst_tpu.models.rdst import make_rdst
+
+        paras = _paras()
+        jmodel = make_rdst(paras, mean=[0.2], std=[0.8])
+        x = np.random.default_rng(5).random((1, 16, 16, 1)).astype(np.float32)
+        jparams = jmodel.init(jax.random.PRNGKey(3), x)
+        want = np.asarray(jmodel.apply(jparams, x))
+
+        import torch
+
+        sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+              for k, v in export_rdstsr(jparams, mean=[0.2], std=[0.8]).items()}
+        _, variations = ref.import_reference_networks()
+        tmodel = variations.make_RDSTSR(paras, mean=[0.2], std=[0.8])
+        missing, unexpected = tmodel.load_state_dict(sd, strict=False)
+        # only recomputed buffers may be missing
+        assert all(("relative_position_index" in k or "attn_mask" in k)
+                   for k in missing), missing
+        assert not unexpected, unexpected
+
+        got = ref.torch_forward_nhwc(tmodel, x)
+        assert np.abs(got - want).max() < 2e-4
