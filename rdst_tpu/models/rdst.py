@@ -307,3 +307,44 @@ def make_rdst(paras, mean=None, std=None, dtype=jnp.float32) -> RDSTSR:
         ),
         dtype=dtype,
     )
+
+
+class RRDSTB(nn.Module):
+    """Residual-in-residual dense Swin block: num_rdstb x RDSTB + conv +
+    scaled residual (swinIR_variations.py:239-346; used by the unwired
+    ESTSR experiment — provided as a building block)."""
+
+    input_dim: int
+    num_rdstb: int = 3
+    layer_depth: int = 2
+    num_heads: int = 6
+    window_size: int = 8
+    mlp_ratio: float = 2.0
+    resi_connection: str = "1conv"
+    growth_rate: int = 30
+    dense_scale: float = 1.0
+    dim_modify_mode: str = "tail"
+    rdb_depth: int = 3
+    rdb_residual_scale: float = 1.0
+    residual_scale: float = 1.0
+    pre_norm: bool = False
+    build_resolution: Optional[Tuple[int, int]] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, x_size, deterministic: bool = True):
+        shortcut = x
+        for i in range(self.num_rdstb):
+            x = RDSTB(
+                input_dim=self.input_dim, layer_depth=self.layer_depth,
+                num_heads=self.num_heads, window_size=self.window_size,
+                mlp_ratio=self.mlp_ratio, resi_connection=self.resi_connection,
+                growth_rate=self.growth_rate, dense_scale=self.dense_scale,
+                dim_modify_mode=self.dim_modify_mode, num_blocks=self.rdb_depth,
+                residual_scale=self.rdb_residual_scale, pre_norm=self.pre_norm,
+                build_resolution=self.build_resolution, dtype=self.dtype,
+                name=f"body_{i}",
+            )(x, x_size, deterministic)
+        y = Conv(self.input_dim, 3, dtype=self.dtype, name="conv")(
+            to_image(x, x_size))
+        return to_tokens(y)[0] * self.residual_scale + shortcut

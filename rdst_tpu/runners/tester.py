@@ -135,9 +135,17 @@ class SRTester:
         return self._eval_fns[key]
 
     def inference_patient(self, ds) -> List[Dict[float, np.ndarray]]:
-        """SR all slices of a patient; returns per-slice {scale: HWC}."""
+        """SR all slices of a patient; returns per-slice {scale: HWC}.
+
+        Two modes: whole-slice (default — the reference example configs run
+        the full LR slice through the net, trans_sr_tester.py:141-146) or
+        tiled patch inference via the overlap-normalized un/folders when
+        ``tiled_inference = True`` (the §5.7 machinery,
+        basic_dataset.py:347-449 / OASIS_dataset.py:246-271).
+        """
         pairs = [ds.get_test_pair(i) for i in range(ds.test_len())]
         recs = [dict() for _ in pairs]
+        tiled = self.paras.get("tiled_inference", False) and not self.bicubic
         for s in self.sr_scales:
             lr = np.concatenate([p[s]["in"] for p in pairs], axis=0)
             if self.bicubic:
@@ -145,6 +153,8 @@ class SRTester:
                     ops.resize(x, p[s]["gt"].shape[:2])
                     for x, p in zip(lr, pairs)
                 ])
+            elif tiled:
+                out = self._tiled_inference(lr, s, pairs)
             else:
                 fn = self._eval_fn((lr.shape, s))
                 sr_scale = None
@@ -155,6 +165,36 @@ class SRTester:
             for i in range(len(pairs)):
                 recs[i][s] = out[i]
         return recs, pairs
+
+    def _tiled_inference(self, lr: np.ndarray, s: float, pairs) -> np.ndarray:
+        """Patch-unfold -> SR each patch -> overlap-normalized fold."""
+        from rdst_tpu.data.folding import ImageFolder
+
+        n, h, w, c = lr.shape
+        patch = int(self.paras.patch_size)
+        stride = int(self.paras.get("test_lr_patch_stride", patch))
+        si = int(s)
+        lr_folder = ImageFolder((n, h, w, c), patch, stride)
+        hr_shape = pairs[0][s]["gt"].shape
+        hr_folder = ImageFolder((n, hr_shape[0], hr_shape[1], c),
+                                patch * si, stride * si)
+        patches = np.asarray(lr_folder.unfold(jnp.asarray(lr)))
+        fn = self._eval_fn((patches.shape, s, "tiled"))
+        chunk = max(self.paras.batch_size * 4, 8)
+        outs = []
+        for i in range(0, patches.shape[0], chunk):
+            block = patches[i : i + chunk]
+            pad = chunk - block.shape[0]
+            if pad:
+                block = np.concatenate([block, block[-1:].repeat(pad, 0)])
+            sr_scale = None
+            if self.paras.scale_free:
+                sr_scale = jnp.full((block.shape[0], 1), float(s))
+            fn = self._eval_fn(((chunk,) + patches.shape[1:], s, "tiled"))
+            res = np.asarray(fn(self.params, jnp.asarray(block), float(s), sr_scale))
+            outs.append(res[: res.shape[0] - pad] if pad else res)
+        sr_patches = np.concatenate(outs)
+        return np.asarray(hr_folder.fold(jnp.asarray(sr_patches)))
 
     # -- evaluation with resume (basic_tester.py:147-189) -----------------------
 

@@ -119,3 +119,48 @@ def test_multi_scale_mdsr_training(e2e_env):
     assert len(trainer.training_loss_records["WarmUP"]) == 6
     report = trainer.quick_validation_reports[-1]
     assert "psnr_2.0" in report and "psnr_4.0" in report
+
+
+def test_tiled_inference_matches_whole_slice(e2e_env):
+    """Tiled unfold/SR/fold inference must closely match whole-slice SR."""
+    root, base = e2e_env
+    from rdst_tpu.config import ParametersLoader
+    from rdst_tpu.runners.tester import SRTester
+
+    out = root / "outputs" / "RDST_TINY_OASIS_SRx4_None"
+    snapshot = out / "models" / "WarmUP_model_g.msgpack"
+    if not snapshot.exists():  # allow standalone selection of this test
+        from rdst_tpu.data.readers import make_train_valid_datasets
+        from rdst_tpu.runners.trainer import SRTrainer
+
+        ds_train, ds_valid = make_train_valid_datasets(base)
+        trainer = SRTrainer(base, ds_train, ds_valid, seed=0)
+        trainer.setup()
+        trainer.train()
+    p = ParametersLoader.from_dict(base.to_dict())
+    p.set("well_trained_single_scale_model_g", str(snapshot))
+    p.set("model_name", "RDST_TILED")
+    p.set("tiled_inference", True)
+    p.set("test_lr_patch_stride", 4)
+
+    tester = SRTester(p)
+    tester.setup()
+    from rdst_tpu.data.readers import make_test_dataset
+
+    ds = make_test_dataset(p, ["OAS1_0004_MR1"])
+    recs_tiled, pairs = tester.inference_patient(ds)
+
+    p.set("tiled_inference", False)
+    tester2 = SRTester(p)
+    tester2.setup()
+    recs_whole, _ = tester2.inference_patient(ds)
+
+    # window attention sees different context per tile, so pixels differ at
+    # tile borders; the folded result must be a comparable-quality SR
+    from rdst_tpu.metrics.image_metrics import psnr
+
+    gt = pairs[0][4.0]["gt"]
+    p_tiled = psnr(gt, np.clip(recs_tiled[0][4.0], 0, 1))
+    p_whole = psnr(gt, np.clip(recs_whole[0][4.0], 0, 1))
+    assert recs_tiled[0][4.0].shape == recs_whole[0][4.0].shape
+    assert abs(p_tiled - p_whole) < 2.0, (p_tiled, p_whole)
