@@ -164,3 +164,34 @@ def test_tiled_inference_matches_whole_slice(e2e_env):
     p_whole = psnr(gt, np.clip(recs_whole[0][4.0], 0, 1))
     assert recs_tiled[0][4.0].shape == recs_whole[0][4.0].shape
     assert abs(p_tiled - p_whole) < 2.0, (p_tiled, p_whole)
+
+
+def test_golden_trained_model_quality(tmp_path):
+    """Regression gate: the committed 2000-step tiny-RDST snapshot must
+    score >= 27.5 dB on freshly synthesized OASIS phantoms (bicubic on the
+    same data scores ~25.8 dB) — guards the full pipeline end to end."""
+    import pathlib
+
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    snapshot = repo / "weights" / "rdst_tiny2k_oasis_x4.msgpack"
+    if not snapshot.exists():
+        pytest.skip("golden snapshot not present")
+
+    from rdst_tpu.config import ParametersLoader
+    from rdst_tpu.data import synthetic
+    from rdst_tpu.runners.tester import SRTester
+
+    data = tmp_path / "OASIS" / "example"
+    synthetic.make_oasis_example(str(data), shape=(96, 112, 96))
+
+    p = ParametersLoader(str(repo / "config_files" / "rdst_tiny_oasis_x4.ini"))
+    p.set("data_folder", str(data))
+    p.set("output_dir", str(tmp_path / "outputs"))
+    p.set("model_name", "GOLDEN")
+    p.set("well_trained_single_scale_model_g", str(snapshot))
+
+    tester = SRTester(p)
+    tester.setup()
+    stacked = tester.test()
+    mean_psnr = float(np.mean(stacked["psnr_4.0"]))
+    assert mean_psnr >= 27.5, mean_psnr
