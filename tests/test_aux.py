@@ -170,3 +170,85 @@ class TestInceptionFID:
             assert np.allclose(np.asarray(want[k]), got[k]), k
         assert set(flatten_dict(v["batch_stats"])) == set(
             flatten_dict(restored["batch_stats"]))
+
+
+class TestVolumeIOEdgeCases:
+    def test_big_endian_header(self, tmp_path, rng):
+        """Analyze headers can be big-endian; the reader must byte-swap."""
+        import struct
+
+        from rdst_tpu.data import io
+
+        x = rng.random((4, 5, 6)).astype(">f4")
+        hdr = bytearray(348)
+        struct.pack_into(">i", hdr, 0, 348)
+        struct.pack_into(">8h", hdr, 40, 3, 4, 5, 6, 1, 1, 1, 1)
+        struct.pack_into(">h", hdr, 70, 16)  # float32
+        (tmp_path / "v.hdr").write_bytes(bytes(hdr))
+        (tmp_path / "v.img").write_bytes(np.asfortranarray(x).tobytes(order="F"))
+        v = io.load(str(tmp_path / "v.hdr"))
+        assert v.shape == (4, 5, 6)
+        assert np.allclose(v.get_fdata(), x.astype(np.float64))
+
+    def test_scl_slope_applied(self, tmp_path):
+        import struct
+
+        from rdst_tpu.data import io
+
+        data = np.arange(8, dtype=np.int16).reshape(2, 2, 2)
+        p = str(tmp_path / "v.nii")
+        io.save(p, data)
+        raw = bytearray(open(p, "rb").read())
+        struct.pack_into("<f", raw, 112, 2.0)   # scl_slope
+        struct.pack_into("<f", raw, 116, -1.0)  # scl_inter
+        open(p, "wb").write(bytes(raw))
+        v = io.load(p)
+        assert np.allclose(v.get_fdata(), data * 2.0 - 1.0)
+
+    def test_truncated_header_raises(self, tmp_path):
+        from rdst_tpu.data import io
+
+        p = tmp_path / "bad.nii"
+        p.write_bytes(b"\x00" * 100)
+        with pytest.raises(ValueError):
+            io.load(str(p))
+
+
+class TestOptimFactories:
+    def test_schedules(self):
+        from rdst_tpu.config import ParametersLoader
+        from rdst_tpu.utils.optim import make_schedule
+
+        p = ParametersLoader.from_dict({
+            "learning_rate": 1.0, "lr_decay_type": "step 10",
+            "lr_decay_gamma": 0.5})
+        s = make_schedule(p)
+        assert s(0) == 1.0 and s(10) == 0.5 and s(25) == 0.25
+
+        p.set("lr_decay_type", "milestones 5 15")
+        s = make_schedule(p)
+        assert float(s(0)) == 1.0
+        assert float(s(6)) == 0.5
+        assert float(s(16)) == 0.25
+
+        p.set("lr_decay_type", None)
+        assert float(make_schedule(p)(100)) == 1.0
+
+    @pytest.mark.parametrize("opt", ["Adam", "SGD", "RMSprop"])
+    def test_optimizers_step(self, opt, rng):
+        import jax.numpy as jnp
+        import optax
+
+        from rdst_tpu.config import ParametersLoader
+        from rdst_tpu.utils.optim import make_optimizer
+
+        p = ParametersLoader.from_dict({
+            "opt": opt, "learning_rate": 0.1, "weight_decay": 0.01,
+            "momentum": 0.9, "beta1": 0.9, "beta2": 0.99, "epsilon": 1e-8,
+            "lr_decay_type": None, "lr_decay_gamma": 0.5})
+        tx = make_optimizer(p)
+        params = {"w": jnp.ones(4)}
+        state = tx.init(params)
+        updates, _ = tx.update({"w": jnp.ones(4)}, state, params)
+        new = optax.apply_updates(params, updates)
+        assert float(new["w"][0]) < 1.0  # moved against the gradient
