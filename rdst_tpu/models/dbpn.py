@@ -9,7 +9,6 @@ params per the paper: x2 (6,2,2), x4 (8,4,2), x8 (12,8,2).
 
 from __future__ import annotations
 
-from typing import Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn

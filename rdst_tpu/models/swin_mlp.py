@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from rdst_tpu.models.rdst import pad_to_window_multiple, to_image, to_tokens
-from rdst_tpu.nn.common import Conv, UpSampler, mean_shift
+from rdst_tpu.nn.common import Conv, UpSampler
 from rdst_tpu.nn.layers import DropPath, LayerNorm, Mlp, trunc_normal_init
 from rdst_tpu.nn.swin import window_partition, window_reverse
 

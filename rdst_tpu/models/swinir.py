@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from rdst_tpu.models.rdst import pad_to_window_multiple, to_image, to_tokens
-from rdst_tpu.nn.common import Conv, mean_shift, pixel_shuffle
+from rdst_tpu.nn.common import Conv, pixel_shuffle
 from rdst_tpu.nn.layers import LayerNorm, activation, trunc_normal_init
 from rdst_tpu.nn.swin import BasicLayer
 

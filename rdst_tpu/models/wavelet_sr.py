@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from rdst_tpu.models.rdst import pad_to_window_multiple, to_image, to_tokens
-from rdst_tpu.nn.common import Conv, UpSampler, pixel_shuffle
+from rdst_tpu.nn.common import Conv, UpSampler
 from rdst_tpu.nn.layers import LayerNorm
 from rdst_tpu.nn.swin import BasicLayer
 from rdst_tpu.nn.wavelet import dwt2, idwt2

@@ -12,7 +12,7 @@ Parity targets (/root/reference/networks/common.py):
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,6 @@ sharded spatially (activation constraint helpers below).
 
 from __future__ import annotations
 
-from typing import Any
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

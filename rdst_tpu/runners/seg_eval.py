@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import argparse
 import pickle
-from os.path import exists
 
 import numpy as np
 from tabulate import tabulate

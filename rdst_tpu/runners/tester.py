@@ -23,7 +23,7 @@ from __future__ import annotations
 import os
 import time
 from os.path import exists, join
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp

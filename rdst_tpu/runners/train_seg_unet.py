@@ -28,7 +28,6 @@ def train_seg_unet(paras, steps: int = 1000, lr: float = 1e-3, batch_size: int =
     import jax.numpy as jnp
     import optax
 
-    from rdst_tpu.data import ops
     from rdst_tpu.data.readers import OASISSegSRTrain
     from rdst_tpu.losses.seg_unet import dice_loss
     from rdst_tpu.models.seg_unet import SegUNet
