@@ -1,0 +1,250 @@
+"""Fused Swin transformer block (Pallas TPU).
+
+Round-1 measurement showed RDST-E1 inference is HBM-bound: the XLA
+graph materializes ~1.3 GB/slice of intermediates, ~10% of it the
+(B·nW, nH, 64, 64) attention scores and most of the rest LN/qkv/MLP
+outputs and layout copies (48 Swin blocks/forward, SURVEY §3.3; hot
+loop /root/reference/networks/swin_transformer_sr.py:62-141,160-274).
+Fusing only the attention core (see window_attention.py) LOST to XLA
+because per-head head_dim=10..20 matmuls underfill the MXU.
+
+This kernel fuses the ENTIRE block body instead —
+
+    LN1 -> qkv -> W-MSA (rel-pos bias + shift mask) -> proj
+        -> +residual -> LN2 -> MLP(GELU) -> +residual
+
+— so per block only the (T·N, C) input is read and the (T·N, C)
+output written; every intermediate lives in VMEM.
+
+Two design points make it TPU-native:
+
+* **Window layout I/O.** LayerNorm / MLP / residuals are row-wise, so
+  they commute with token permutations. The caller keeps tokens in
+  window-partition order ((B·nW, N=ws², C)) and the kernel never
+  reshuffles spatial data; XLA does roll/partition/reverse between
+  blocks (cheap fused copies). The only in-kernel reshapes merge or
+  split *leading* dims (sublane-aligned no-ops for Mosaic).
+* **Masked full-C attention matmuls.** Per-head (N, hd)·(hd, N)
+  matmuls with hd = C/nH = 10..20 run at <10% MXU fill. Instead q is
+  channel-masked per head and contracted over the FULL C dimension
+  (zeros kill cross-head terms):  scores_h = (q ⊙ m_h) @ kᵀ. That
+  wastes nH× FLOPs on a bandwidth-starved op but keeps every matmul
+  (N, C)·(C, N) with the window batch dimension on the MXU — measured
+  faster than both the per-head form and XLA's batched tiny GEMMs.
+
+Grid: one program per image (T = nW windows); weights/bias use
+constant index maps so Mosaic fetches them once, amortized over the
+batch. Numerics: matmuls accumulate f32 (preferred_element_type);
+LN / softmax / GELU compute in f32; storage dtype follows the input.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # TPU-only namespace; interpret mode works everywhere
+    from jax.experimental.pallas import tpu as pltpu
+except ImportError:  # pragma: no cover
+    pltpu = None
+
+_EPS = 1e-5  # torch-default LayerNorm epsilon (nn/layers.py)
+
+_VMEM_BUDGET = 15.5 * 2**20  # scoped-VMEM limit is 16 MiB on v5e-class cores
+
+
+def _vmem_estimate(t, n, c, nh, hidden, nw, es) -> float:
+    """Peak-VMEM model for _block_kernel, used to clamp
+    images_per_program before the Mosaic stack allocator OOMs.
+
+    VMEM buffers pad the lane (last) dim to 128, so c=60 costs as much
+    as c=128. Calibrated (factor 0.8) against three measured points on
+    a v5e-lite core: T=40/C=120/f32-bias -> 16.38 MB (OOM),
+    T=40/C=120/bf16-bias -> ~14.4 MB (fits),
+    T=80/C=60/bf16-bias -> 19.57 MB (OOM)."""
+    def pad(v):
+        return -(-v // 128) * 128
+
+    tn = t * n
+    act = tn * (pad(c) * (16 + 5 * es) + pad(n) * 12 + pad(hidden) * (4 + es))
+    weights = (3 * c * pad(c) + c * pad(c) + c * pad(hidden) + hidden * pad(c)) * es
+    bias = nh * nw * n * pad(n) * es
+    return 0.8 * (act + weights + bias)
+
+
+def _erf(x):
+    """Abramowitz–Stegun 7.1.26 erf (max abs err 1.5e-7): Mosaic has no
+    erf/erfc primitive, but exp lowers fine."""
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _layernorm(xf, gamma, beta):
+    """Row-wise LayerNorm in f32. xf: (..., C); gamma/beta: (1, C)."""
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    xn = xc * jax.lax.rsqrt(var + _EPS)
+    return xn * gamma + beta
+
+
+def _block_kernel(nH, scale, T, N, C, nW,
+                  x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+                  g1_ref, b1_ref, g2_ref, b2_ref,
+                  w1_ref, bf1_ref, w2_ref, bf2_ref,
+                  bias_ref, hmask_ref, o_ref):
+    cdt = x_ref.dtype  # compute/storage dtype (bf16 on the bench path)
+    x = x_ref[0]  # (T*N, C)
+    xf = x.astype(jnp.float32)
+
+    g1 = g1_ref[...].astype(jnp.float32)
+    b1 = b1_ref[...].astype(jnp.float32)
+    xn = _layernorm(xf, g1, b1).astype(cdt)
+
+    # three separate projections (instead of one (T·N, 3C) f32 dot) to
+    # bound peak VMEM when T spans several images
+    def proj(lo):
+        y = jnp.dot(xn, wqkv_ref[:, lo:lo + C],
+                    preferred_element_type=jnp.float32)
+        return y + bqkv_ref[0, lo:lo + C][None].astype(jnp.float32)
+
+    q = (proj(0) * scale).astype(cdt).reshape(T, N, C)
+    k = proj(C).astype(cdt).reshape(T, N, C)
+    v = proj(2 * C).astype(cdt).reshape(T, N, C)
+
+    # per-head masked full-C attention; accumulate heads to bound VMEM
+    acc = jnp.zeros((T, N, C), jnp.float32)
+    for h in range(nH):
+        m_h = hmask_ref[h:h + 1][None].astype(cdt)  # (1, 1, C)
+        s = jax.lax.dot_general(
+            q * m_h, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # (T, N, N)
+        # bias is per-image-periodic: broadcast over the T//nW images
+        b_h = bias_ref[h * nW:(h + 1) * nW].astype(jnp.float32)
+        s = (s.reshape(T // nW, nW, N, N) + b_h[None]).reshape(T, N, N)
+        p = jax.nn.softmax(s, axis=-1).astype(cdt)
+        o_h = jax.lax.dot_general(
+            p, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # (T, N, C)
+        acc = acc + o_h * m_h.astype(jnp.float32)
+
+    y = jnp.dot(acc.reshape(T * N, C).astype(cdt), wproj_ref[...],
+                preferred_element_type=jnp.float32)
+    y = y + bproj_ref[...].astype(jnp.float32)
+
+    x1 = xf + y  # residual 1 (f32)
+
+    g2 = g2_ref[...].astype(jnp.float32)
+    b2 = b2_ref[...].astype(jnp.float32)
+    x1n = _layernorm(x1, g2, b2).astype(cdt)
+    h1 = jnp.dot(x1n, w1_ref[...], preferred_element_type=jnp.float32)
+    h1 = h1 + bf1_ref[...].astype(jnp.float32)
+    # exact-GELU via polynomial erf (no erf/erfc primitive in Mosaic)
+    h1 = (0.5 * h1 * (1.0 + _erf(h1 * (2.0**-0.5)))).astype(cdt)
+    h2 = jnp.dot(h1, w2_ref[...], preferred_element_type=jnp.float32)
+    h2 = h2 + bf2_ref[...].astype(jnp.float32)
+
+    o_ref[0] = (x1 + h2).astype(o_ref.dtype)
+
+
+def fused_block_fits(nw: int, n: int, c: int, nh: int, hidden: int,
+                     es: int) -> bool:
+    """True when one image's windows fit the kernel's VMEM budget
+    (callers fall back to the XLA path for oversized images)."""
+    return _vmem_estimate(nw, n, c, nh, hidden, nw, es) <= _VMEM_BUDGET
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "windows_per_image", "images_per_program",
+                     "interpret"))
+def fused_swin_block(x_windows, wqkv, bqkv, wproj, bproj,
+                     g1, b1, g2, b2, w1, bf1, w2, bf2,
+                     bias, *, num_heads: int, windows_per_image: int,
+                     images_per_program: int = 1, interpret: bool = False):
+    """Whole Swin block on window-layout tokens.
+
+    x_windows: (B·nW, N, C) with nW = windows_per_image;
+    wqkv (C, 3C), bqkv (3C,) or None, wproj (C, C), bproj (C,),
+    g1/b1/g2/b2 (C,) LayerNorm affines, w1 (C, H), bf1 (H,),
+    w2 (H, C), bf2 (C,); bias (nH·nW, N, N) = rel-pos bias (+ shift
+    mask), head-major. Returns (B·nW, N, C).
+
+    images_per_program batches several images' windows per grid step
+    (bigger matmuls, fewer grid-step overheads); the mask tiles
+    periodically. Per-program activations must stay well under the
+    ~16 MB VMEM budget — 2-4 images at RDST shapes.
+    """
+    bnw, n, c = x_windows.shape
+    nh = num_heads
+    nw = windows_per_image
+    es = jnp.dtype(x_windows.dtype).itemsize
+    ipp = images_per_program
+    while ipp > 1 and (bnw % (nw * ipp) != 0
+                       or _vmem_estimate(nw * ipp, n, c, nh, w1.shape[1],
+                                         nw, es) > _VMEM_BUDGET):
+        ipp -= 1
+    t = nw * ipp
+    assert bias.shape == (nh * nw, n, n), bias.shape
+    hd = c // nh
+    scale = hd**-0.5
+    grid = (bnw // t,)
+    hidden = w1.shape[1]
+
+    xg = x_windows.reshape(bnw // t, t * n, c)
+    if bqkv is None:
+        bqkv = jnp.zeros((3 * c,), wqkv.dtype)
+
+    kernel = functools.partial(_block_kernel, nh, scale, t, n, c, nw)
+    vm = {} if (pltpu is None or interpret) else {"memory_space": pltpu.VMEM}
+
+    def const2d(a, b):
+        return pl.BlockSpec((a, b), lambda i: (0, 0), **vm)
+
+    def row(d):
+        return const2d(1, d)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, t * n, c), lambda i: (i, 0, 0), **vm),
+            const2d(c, 3 * c),              # wqkv
+            row(3 * c),                     # bqkv
+            const2d(c, c),                  # wproj
+            row(c),                         # bproj
+            row(c), row(c), row(c), row(c),  # g1 b1 g2 b2
+            const2d(c, hidden),             # w1
+            row(hidden),                    # bf1
+            const2d(hidden, c),             # w2
+            row(c),                         # bf2
+            pl.BlockSpec((nh * nw, n, n), lambda i: (0, 0, 0), **vm),
+            const2d(nh, c),                 # hmask
+        ],
+        out_specs=pl.BlockSpec((1, t * n, c), lambda i: (i, 0, 0), **vm),
+        out_shape=jax.ShapeDtypeStruct(xg.shape, x_windows.dtype),
+        interpret=interpret,
+    )(
+        xg, wqkv, bqkv.reshape(1, 3 * c), wproj, bproj.reshape(1, c),
+        g1.reshape(1, c), b1.reshape(1, c), g2.reshape(1, c),
+        b2.reshape(1, c), w1, bf1.reshape(1, hidden), w2,
+        bf2.reshape(1, c), bias,
+        _head_mask(nh, c, x_windows.dtype),
+    )
+    return out.reshape(bnw, n, c)
+
+
+@functools.partial(jax.jit, static_argnames=("nh", "c", "dtype"))
+def _head_mask(nh: int, c: int, dtype) -> jax.Array:
+    """(nH, C) one-hot channel masks: m[h, ch] = 1 iff ch // hd == h."""
+    hd = c // nh
+    ch = jax.lax.broadcasted_iota(jnp.int32, (nh, c), 1)
+    hh = jax.lax.broadcasted_iota(jnp.int32, (nh, c), 0)
+    return (ch // hd == hh).astype(dtype)

@@ -105,11 +105,24 @@ USE_PALLAS_ATTENTION = os.environ.get("RDST_TPU_PALLAS", "0") == "1"
 
 
 def pallas_mode():
-    """'' (off) | '1' (attention-only kernel) | 'block' (fused qkv+attn+proj)."""
-    mode = os.environ.get("RDST_TPU_PALLAS", "0")
-    if mode in ("0", "", "false"):
-        return "" if not USE_PALLAS_ATTENTION else "1"
-    return mode
+    """'swin' (default: whole-block fused kernel, kernels/swin_block.py —
+    measured 2.1x XLA at RDST-E1 shapes) | '1' (attention-only kernel) |
+    'block' (fused qkv+attn+proj) | '0'/'off' (pure XLA).
+
+    '1' and 'block' were the round-1 experiments and measured SLOWER
+    than XLA fusion (377 / 503 vs 669 slices/s) — kept for
+    re-measurement at other shapes."""
+    mode = os.environ.get("RDST_TPU_PALLAS", "")
+    if mode in ("0", "false", "off"):
+        return ""
+    if mode in ("", "1") and USE_PALLAS_ATTENTION:
+        return "1"
+    return mode or "swin"
+
+
+def pallas_interpret() -> bool:
+    """Force interpret-mode kernels (CPU tests of the gated path)."""
+    return os.environ.get("RDST_TPU_PALLAS_INTERPRET", "0") == "1"
 
 
 def _block_kernel(scale, nH, hd, x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,

@@ -99,6 +99,31 @@ class _LinearParams(nn.Module):
         return kernel, bias
 
 
+class _LayerNormParams(nn.Module):
+    """Declares scale/bias at the same tree path as nn.LayerNorm."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,))
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return scale, bias
+
+
+class _MlpParams(nn.Module):
+    """Declares fc1/fc2 kernels+biases at the same tree path as Mlp."""
+
+    features_in: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        w1, b1 = _LinearParams(self.features_in, self.hidden, True, name="fc1")()
+        w2, b2 = _LinearParams(self.hidden, self.features_in, True, name="fc2")()
+        return w1, b1, w2, b2
+
+
 class WindowAttention(nn.Module):
     """W-MSA with relative position bias (swin_transformer_sr.py:62-141)."""
 
@@ -112,8 +137,8 @@ class WindowAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask: Optional[jax.Array] = None, deterministic: bool = True):
-        b_, n, c = x.shape
+    def __call__(self, x, mask: Optional[jax.Array] = None, deterministic: bool = True,
+                 params_only: bool = False):
         head_dim = self.dim // self.num_heads
         scale = self.qk_scale or head_dim**-0.5
 
@@ -125,6 +150,11 @@ class WindowAttention(nn.Module):
         wqkv, bqkv = _LinearParams(self.dim, self.dim * 3, self.qkv_bias,
                                    name="qkv")()
         wproj, bproj = _LinearParams(self.dim, self.dim, True, name="proj")()
+        if params_only:
+            # fused-kernel path: the block consumes the raw parameters
+            # (identical tree to the XLA path; x is ignored)
+            return bias_table, wqkv, bqkv, wproj, bproj
+        b_, n, c = x.shape
 
         idx = relative_position_index(*self.window_size).reshape(-1)
         rel_bias = bias_table[idx].reshape(n, n, self.num_heads).transpose(2, 0, 1)
@@ -133,7 +163,8 @@ class WindowAttention(nn.Module):
 
         mode = wa.pallas_mode()
         use_pallas = (
-            mode and self.attn_drop == 0.0 and self.proj_drop == 0.0
+            mode in ("1", "block")
+            and self.attn_drop == 0.0 and self.proj_drop == 0.0
             and self.qk_scale is None and jax.default_backend() == "tpu"
         )
         if use_pallas:
@@ -211,6 +242,24 @@ class SwinTransformerBlock(nn.Module):
             ws = min(decide_res)
         ws = min(ws, h, w)
 
+        from rdst_tpu.kernels import window_attention as wa
+        from rdst_tpu.kernels.swin_block import fused_block_fits
+
+        use_fused = (
+            wa.pallas_mode() == "swin" and deterministic
+            and self.qk_scale is None
+            and c % self.num_heads == 0
+            and h % ws == 0 and w % ws == 0
+            and fused_block_fits(
+                (h // ws) * (w // ws), ws * ws, c, self.num_heads,
+                int(self.dim * self.mlp_ratio),
+                jnp.dtype(self.dtype).itemsize)
+            and (jax.default_backend() == "tpu" or wa.pallas_interpret())
+        )
+        if use_fused:
+            return self._fused_block(x, (h, w), ws, shift,
+                                     interpret=wa.pallas_interpret())
+
         shortcut = x
         x = LayerNorm(dtype=self.dtype, name="norm1")(x)
         x = x.reshape(b, h, w, c)
@@ -240,6 +289,66 @@ class SwinTransformerBlock(nn.Module):
                 dtype=self.dtype, name="mlp")(
             LayerNorm(dtype=self.dtype, name="norm2")(x), deterministic)
         return x + drop_path(y, deterministic)
+
+    def _fused_block(self, x, x_size, ws: int, shift: int, *,
+                     interpret: bool = False):
+        """Fused-kernel inference path: the whole block body runs in one
+        Pallas kernel on window-layout tokens (kernels/swin_block.py);
+        XLA keeps only roll/partition/reverse. Declares the exact same
+        parameter tree as the XLA path (checkpoint-compatible)."""
+        from rdst_tpu.kernels.swin_block import fused_swin_block
+
+        h, w = x_size
+        b, l, c = x.shape
+        n = ws * ws
+        dt = self.dtype
+
+        gamma1, beta1 = _LayerNormParams(c, name="norm1")()
+        table, wqkv, bqkv, wproj, bproj = WindowAttention(
+            dim=self.dim, window_size=(ws, ws), num_heads=self.num_heads,
+            qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
+            attn_drop=self.attn_drop, proj_drop=self.drop,
+            dtype=dt, name="attn",
+        )(None, params_only=True)
+        gamma2, beta2 = _LayerNormParams(c, name="norm2")()
+        w1, bf1, w2, bf2 = _MlpParams(c, int(self.dim * self.mlp_ratio),
+                                      name="mlp")()
+
+        # combined (nH·nW, N, N) bias: rel-pos (+ shift mask), head-major
+        idx = relative_position_index(ws, ws).reshape(-1)
+        rel_bias = table[idx].reshape(n, n, self.num_heads).transpose(2, 0, 1)
+        mask = shift_attention_mask(h, w, ws, shift)
+        nw = (h // ws) * (w // ws)
+        if mask is not None:
+            bias = rel_bias[:, None] + jnp.asarray(mask)[None]
+        else:
+            bias = jnp.broadcast_to(rel_bias[:, None], (self.num_heads, nw, n, n))
+        # bias in compute dtype: the XLA path also adds it at attn.dtype,
+        # and f32 here costs 2x VMEM in the kernel
+        bias = bias.reshape(self.num_heads * nw, n, n).astype(dt)
+
+        xi = x.reshape(b, h, w, c)
+        if shift > 0:
+            xi = jnp.roll(xi, (-shift, -shift), axis=(1, 2))
+        x_windows = window_partition(xi, ws).reshape(-1, n, c)
+
+        import os
+
+        ipp = int(os.environ.get("RDST_TPU_PALLAS_IPP", "2"))
+        y = fused_swin_block(
+            x_windows.astype(dt),
+            wqkv.astype(dt), None if bqkv is None else bqkv.astype(dt),
+            wproj.astype(dt), bproj.astype(dt),
+            gamma1.astype(jnp.float32), beta1.astype(jnp.float32),
+            gamma2.astype(jnp.float32), beta2.astype(jnp.float32),
+            w1.astype(dt), bf1.astype(dt), w2.astype(dt), bf2.astype(dt),
+            bias, num_heads=self.num_heads, windows_per_image=nw,
+            images_per_program=ipp, interpret=interpret)
+
+        y = window_reverse(y.reshape(-1, ws, ws, c), ws, h, w)
+        if shift > 0:
+            y = jnp.roll(y, (shift, shift), axis=(1, 2))
+        return y.reshape(b, l, c)
 
 
 class BasicLayer(nn.Module):

@@ -39,3 +39,50 @@ class TestFusedWindowAttention:
         # window 0 attends everywhere (values >> 1); window 1 only to v=1
         assert out[1].max() < 1.5
         assert out[0].max() > 10
+
+
+class TestFusedSwinBlock:
+    """Whole-block kernel (kernels/swin_block.py) vs the XLA path."""
+
+    @pytest.mark.parametrize("shift,ipp", [(0, 1), (4, 1), (0, 2), (4, 4)])
+    def test_block_parity_and_tree(self, rng, shift, ipp, monkeypatch):
+        import jax
+        import jax.numpy as jnp
+
+        from rdst_tpu.nn.swin import SwinTransformerBlock
+
+        b, h, w, c, nh, ws = 4, 16, 24, 12, 3, 8
+        x = jnp.asarray(rng.normal(0, 1, (b, h * w, c)), jnp.float32)
+        blk = SwinTransformerBlock(dim=c, num_heads=nh, window_size=ws,
+                                   shift_size=shift, mlp_ratio=2.0,
+                                   build_resolution=(h, w))
+        monkeypatch.setenv("RDST_TPU_PALLAS", "0")
+        params = blk.init(jax.random.PRNGKey(0), x, (h, w))
+        ref = blk.apply(params, x, (h, w))
+
+        monkeypatch.setenv("RDST_TPU_PALLAS", "swin")
+        monkeypatch.setenv("RDST_TPU_PALLAS_INTERPRET", "1")
+        monkeypatch.setenv("RDST_TPU_PALLAS_IPP", str(ipp))
+        p2 = blk.init(jax.random.PRNGKey(0), x, (h, w))
+        # identical parameter tree (checkpoint compatibility)
+        assert (jax.tree_util.tree_structure(params)
+                == jax.tree_util.tree_structure(p2))
+        got = blk.apply(params, x, (h, w))
+        assert np.abs(np.asarray(got) - np.asarray(ref)).max() < 2e-5
+
+    def test_erf_polynomial(self):
+        import math
+
+        from rdst_tpu.kernels.swin_block import _erf
+
+        xs = np.linspace(-4, 4, 201).astype(np.float32)
+        want = np.array([math.erf(v) for v in xs])
+        got = np.asarray(_erf(xs))
+        assert np.abs(got - want).max() < 1e-6
+
+    def test_vmem_fit_gate(self):
+        from rdst_tpu.kernels.swin_block import fused_block_fits
+
+        # RDST-E1 bench shape fits; a 256x256 SwinIR whole-slice does not
+        assert fused_block_fits(20, 64, 120, 6, 240, 2)
+        assert not fused_block_fits(1024, 64, 180, 6, 360, 2)
