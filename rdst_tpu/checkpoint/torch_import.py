@@ -231,9 +231,478 @@ def map_swinir_key(key: str, value, upsampler: str = "pixelshuffledirect") -> It
     raise KeyError(f"unmapped SwinIR key: {key}")
 
 
+def _conv_t_w(v):
+    """torch ConvTranspose2d (in, out, kh, kw) -> flax ConvTranspose
+    (kh, kw, in, out). torch computes the gradient-of-conv (implicitly
+    spatially flipped); flax's default transpose_kernel=False does not
+    flip, so flip here."""
+    return np.ascontiguousarray(
+        np.asarray(v).transpose(2, 3, 0, 1)[::-1, ::-1])
+
+
+def _conv3d_w(v):
+    """torch Conv3d (O, I, D, H, W) -> flax (D, H, W, I, O)."""
+    return np.ascontiguousarray(np.asarray(v).transpose(2, 3, 4, 1, 0))
+
+
+def _yield_conv(path: Path, which: str, value):
+    leaf, tf = _leaf("conv", which)
+    yield path + ("conv", leaf), tf(value)
+
+
+def _map_tail(rest: str, value, up="tail_up", conv="tail_conv"):
+    """common.py tail Sequential: [UpSampler, conv] or [conv] (scale 1)."""
+    m = re.match(r"0\.(\d+)\.(weight|bias)$", rest)
+    if m:  # UpSampler: even indices are convs, odd are PixelShuffles
+        yield from _yield_conv((up, f"conv_{int(m.group(1)) // 2}"),
+                               m.group(2), value)
+        return
+    m = re.match(r"(?:1\.)?(weight|bias)$", rest)
+    if m:
+        yield from _yield_conv((conv,), m.group(1), value)
+        return
+    raise KeyError(f"unmapped tail key: {rest}")
+
+
+def _map_resblock_body(rest: str, value):
+    """common.py ResBlock body Sequential [conv, act, conv] -> conv_{0,1}."""
+    m = re.match(r"body\.(\d+)\.(weight|bias)$", rest)
+    if not m:
+        raise KeyError(f"unmapped ResBlock key: {rest}")
+    yield from _yield_conv((f"conv_{int(m.group(1)) // 2}",), m.group(2), value)
+
+
+def _map_rdb(rest: str, value):
+    """common.py ResidualDenseBlock: DenseLayers + bottle_neck."""
+    m = re.match(r"body\.(\d+)\.body\.0\.(weight|bias)$", rest)
+    if m:  # DenseLayer's Conv is itself named 'conv' (nn/common.py:127-140)
+        yield from _yield_conv((f"dense_{m.group(1)}", "conv"), m.group(2), value)
+        return
+    m = re.match(r"bottle_neck\.(weight|bias)$", rest)
+    if m:
+        yield from _yield_conv(("bottleneck",), m.group(1), value)
+        return
+    raise KeyError(f"unmapped RDB key: {rest}")
+
+
+def _map_calayer(rest: str, value):
+    """rcan/han CALayer: conv_du Sequential [conv, relu, conv, sigmoid]."""
+    m = re.match(r"conv_du\.([02])\.(weight|bias)$", rest)
+    if not m:
+        raise KeyError(f"unmapped CALayer key: {rest}")
+    yield from _yield_conv((f"du_{int(m.group(1)) // 2}",), m.group(2), value)
+
+
+def map_edsr_key(key: str, value) -> Iterable[Tuple[Path, np.ndarray]]:
+    """EDSR / SRResNet (/root/reference/networks/{edsr,srresnet}.py):
+    head -> ResBlocks + conv -> tail. Torch PReLU slopes (srresnet) are
+    skipped — the flax side uses the fixed 0.25 init value."""
+    if re.match(r"^(sub_mean|add_mean)\.", key):
+        return
+    m = re.match(r"^head\.0\.(weight|bias)$", key)
+    if m:
+        yield from _yield_conv(("head",), m.group(1), value)
+        return
+    m = re.match(r"^body\.(\d+)\.(body\..+)$", key)
+    if m:
+        for path, v in _map_resblock_body(m.group(2), value):
+            yield (f"body_{m.group(1)}",) + path, v
+        return
+    m = re.match(r"^body\.\d+\.(weight|bias)$", key)
+    if m:
+        yield from _yield_conv(("body_conv",), m.group(1), value)
+        return
+    m = re.match(r"^tail\.(.+)$", key)
+    if m:
+        yield from _map_tail(m.group(1), value)
+        return
+    if key.endswith("activation.weight"):  # PReLU slope
+        return
+    raise KeyError(f"unmapped EDSR/SRResNet key: {key}")
+
+
+def map_mdsr_key(key: str, value) -> Iterable[Tuple[Path, np.ndarray]]:
+    """MDSR (/root/reference/networks/mdsr.py): per-scale heads/tails over
+    a shared body. ``input_layer`` is dead in the reference forward
+    (mdsr.py:86-116 never calls it) and is skipped."""
+    if re.match(r"^(sub_mean|add_mean|input_layer)\.", key):
+        return
+    m = re.match(r"^head_(\d)\.0\.(weight|bias)$", key)
+    if m:
+        yield from _yield_conv((f"head_{m.group(1)}",), m.group(2), value)
+        return
+    m = re.match(r"^body\.(\d+)\.(body\..+)$", key)
+    if m:
+        for path, v in _map_resblock_body(m.group(2), value):
+            yield (f"body_{m.group(1)}",) + path, v
+        return
+    m = re.match(r"^body\.\d+\.(weight|bias)$", key)
+    if m:
+        yield from _yield_conv(("body_conv",), m.group(1), value)
+        return
+    m = re.match(r"^tail_(\d)\.(.+)$", key)
+    if m:
+        yield from _map_tail(m.group(2), value, up=f"tail_up_{m.group(1)}",
+                             conv=f"tail_conv_{m.group(1)}")
+        return
+    raise KeyError(f"unmapped MDSR key: {key}")
+
+
+def map_rdn_key(key: str, value) -> Iterable[Tuple[Path, np.ndarray]]:
+    """RDN (/root/reference/networks/rdn.py:19-124)."""
+    if re.match(r"^(sub_mean|add_mean)\.", key):
+        return
+    m = re.match(r"^head\.0\.(weight|bias)$", key)
+    if m:
+        yield from _yield_conv(("head",), m.group(1), value)
+        return
+    m = re.match(r"^F0\.(weight|bias)$", key)
+    if m:
+        yield from _yield_conv(("F0",), m.group(1), value)
+        return
+    m = re.match(r"^body\.(\d+)\.(.+)$", key)
+    if m:
+        for path, v in _map_rdb(m.group(2), value):
+            yield (f"body_{m.group(1)}",) + path, v
+        return
+    m = re.match(r"^bottleneck\.([01])\.(weight|bias)$", key)
+    if m:
+        yield from _yield_conv((f"bottleneck_{m.group(1)}",), m.group(2), value)
+        return
+    m = re.match(r"^tail\.(.+)$", key)
+    if m:
+        yield from _map_tail(m.group(1), value)
+        return
+    raise KeyError(f"unmapped RDN key: {key}")
+
+
+def map_srdensenet_key(key: str, value) -> Iterable[Tuple[Path, np.ndarray]]:
+    """SRDenseNet (/root/reference/networks/srdensenet.py:7-115)."""
+    if re.match(r"^(sub_mean|add_mean)\.", key):
+        return
+    m = re.match(r"^head\.0\.(weight|bias)$", key)
+    if m:
+        yield from _yield_conv(("head",), m.group(1), value)
+        return
+    m = re.match(r"^body\.(\d+)\.body\.(\d+)\.body\.0\.(weight|bias)$", key)
+    if m:
+        yield from _yield_conv(
+            (f"body_{m.group(1)}", f"dense_{m.group(2)}", "conv"),
+            m.group(3), value)
+        return
+    m = re.match(r"^bottleneck\.(weight|bias)$", key)
+    if m:
+        yield from _yield_conv(("bottleneck",), m.group(1), value)
+        return
+    m = re.match(r"^tail\.(.+)$", key)
+    if m:
+        yield from _map_tail(m.group(1), value)
+        return
+    raise KeyError(f"unmapped SRDenseNet key: {key}")
+
+
+def map_esrgan_key(key: str, value) -> Iterable[Tuple[Path, np.ndarray]]:
+    """ESRGAN / RRDB generator (/root/reference/networks/esrgan.py:7-98)."""
+    if re.match(r"^(sub_mean|add_mean)\.", key):
+        return
+    m = re.match(r"^head\.0\.(weight|bias)$", key)
+    if m:
+        yield from _yield_conv(("head",), m.group(1), value)
+        return
+    m = re.match(r"^body\.(\d+)\.body\.(\d+)\.(.+)$", key)
+    if m:  # ResidualRDB -> RDB r inside block b
+        for path, v in _map_rdb(m.group(3), value):
+            yield (f"body_{m.group(1)}", f"rdb_{m.group(2)}") + path, v
+        return
+    m = re.match(r"^body\.\d+\.(weight|bias)$", key)
+    if m:
+        yield from _yield_conv(("body_conv",), m.group(1), value)
+        return
+    m = re.match(r"^tail\.(.+)$", key)
+    if m:
+        yield from _map_tail(m.group(1), value)
+        return
+    raise KeyError(f"unmapped ESRGAN key: {key}")
+
+
+def map_zssr_key(key: str, value, num_layers: int = 8) -> Iterable[Tuple[Path, np.ndarray]]:
+    """ZSSR (/root/reference/networks/zssr.py:4-66, norm=None variant):
+    model Sequential convs at even indices."""
+    m = re.match(r"^model\.(\d+)\.(weight|bias)$", key)
+    if not m:
+        raise KeyError(f"unmapped ZSSR key: {key}")
+    idx = int(m.group(1)) // 2
+    if idx == 0:
+        name = "head"
+    elif idx == num_layers - 1:
+        name = "tail"
+    else:
+        name = f"body_{idx - 1}"
+    yield from _yield_conv((name,), m.group(2), value)
+
+
+def _map_rcab(rest: str, value, ada: bool):
+    """RCAB body Sequential [conv|Ada, act, conv|Ada, CALayer]."""
+    m = re.match(r"body\.([02])\.(.+)$", rest)
+    if m:
+        conv_name = f"conv_{int(m.group(1)) // 2}"
+        sub = m.group(2)
+        if ada:  # Ada_conv: conv0/conv1/conv2 submodules (rcan.py:39-63)
+            m2 = re.match(r"(conv[012])\.(weight|bias)$", sub)
+            if not m2:
+                raise KeyError(f"unmapped Ada_conv key: {sub}")
+            yield from _yield_conv((conv_name, m2.group(1)), m2.group(2), value)
+            return
+        m2 = re.match(r"(weight|bias)$", sub)
+        if not m2:
+            raise KeyError(f"unmapped RCAB conv key: {sub}")
+        yield from _yield_conv((conv_name,), m2.group(1), value)
+        return
+    m = re.match(r"body\.3\.(.+)$", rest)
+    if m:
+        for path, v in _map_calayer(m.group(1), value):
+            yield ("ca",) + path, v
+        return
+    raise KeyError(f"unmapped RCAB key: {rest}")
+
+
+def _map_rg_body(key: str, value, ada: bool):
+    """RCAN/HAN shared trunk: body.{g}.body.{j}.<RCAB> | group conv |
+    final body conv. Returns a list of (path, value) or None when the
+    key is not a trunk key."""
+    m = re.match(r"^body\.(\d+)\.body\.(\d+)\.(body\..+)$", key)
+    if m:
+        return [((f"body_{m.group(1)}", f"rcab_{m.group(2)}") + path, v)
+                for path, v in _map_rcab(m.group(3), value, ada)]
+    m = re.match(r"^body\.(\d+)\.body\.\d+\.(weight|bias)$", key)
+    if m:
+        return [((f"body_{m.group(1)}",) + path, v)
+                for path, v in _yield_conv(("conv",), m.group(2), value)]
+    m = re.match(r"^body\.\d+\.(weight|bias)$", key)
+    if m:
+        return list(_yield_conv(("body_conv",), m.group(1), value))
+    return None
+
+
+def map_rcan_key(key: str, value) -> Iterable[Tuple[Path, np.ndarray]]:
+    """RCAN (/root/reference/networks/rcan.py:136-190, Ada_conv RCABs)."""
+    if re.match(r"^(sub_mean|add_mean)\.", key):
+        return
+    m = re.match(r"^head\.0\.(weight|bias)$", key)
+    if m:
+        yield from _yield_conv(("head",), m.group(1), value)
+        return
+    if key.startswith("body."):
+        mapped = _map_rg_body(key, value, ada=True)
+        if mapped is None:
+            raise KeyError(f"unmapped RCAN key: {key}")
+        yield from mapped
+        return
+    m = re.match(r"^tail\.(.+)$", key)
+    if m:
+        yield from _map_tail(m.group(1), value)
+        return
+    raise KeyError(f"unmapped RCAN key: {key}")
+
+
+def map_han_key(key: str, value) -> Iterable[Tuple[Path, np.ndarray]]:
+    """HAN (/root/reference/networks/han.py:149-226): RCAN trunk with
+    plain-conv RCABs + LAM/CSAM holistic attention."""
+    if re.match(r"^(sub_mean|add_mean)\.", key):
+        return
+    m = re.match(r"^head\.0\.(weight|bias)$", key)
+    if m:
+        yield from _yield_conv(("head",), m.group(1), value)
+        return
+    if key.startswith("body."):
+        mapped = _map_rg_body(key, value, ada=False)
+        if mapped is None:
+            raise KeyError(f"unmapped HAN key: {key}")
+        yield from mapped
+        return
+    if key == "la.gamma":
+        yield ("la", "gamma"), np.asarray(value)
+        return
+    if key == "csa.gamma":
+        yield ("csa", "gamma"), np.asarray(value)
+        return
+    m = re.match(r"^csa\.conv\.(weight|bias)$", key)
+    if m:
+        if m.group(1) == "weight":
+            yield ("csa", "conv3d", "kernel"), _conv3d_w(value)
+        else:
+            yield ("csa", "conv3d", "bias"), np.asarray(value)
+        return
+    m = re.match(r"^(last_conv|last)\.(weight|bias)$", key)
+    if m:
+        yield from _yield_conv((m.group(1),), m.group(2), value)
+        return
+    m = re.match(r"^tail\.(.+)$", key)
+    if m:
+        yield from _map_tail(m.group(1), value)
+        return
+    raise KeyError(f"unmapped HAN key: {key}")
+
+
+def map_convnext_key(key: str, value) -> Iterable[Tuple[Path, np.ndarray]]:
+    """ConvNeXt-SR (/root/reference/networks/convnet.py:10-106)."""
+    if re.match(r"^(sub_mean|add_mean)\.", key):
+        return
+    m = re.match(r"^head\.0\.(weight|bias)$", key)
+    if m:
+        yield from _yield_conv(("head",), m.group(1), value)
+        return
+    m = re.match(r"^body\.(\d+)\.(.+)$", key)
+    if m:
+        blk = f"body_{m.group(1)}"
+        rest = m.group(2)
+        m2 = re.match(r"dwconv\.(weight|bias)$", rest)
+        if m2:
+            leaf, tf = _leaf("conv", m2.group(1))
+            yield (blk, "dwconv", leaf), tf(value)
+            return
+        m2 = re.match(r"norm\.(weight|bias)$", rest)
+        if m2:
+            leaf, tf = _leaf("norm", m2.group(1))
+            yield (blk, "norm", leaf), tf(value)
+            return
+        m2 = re.match(r"(pwconv[12])\.(weight|bias)$", rest)
+        if m2:
+            leaf, tf = _leaf("linear", m2.group(2))
+            yield (blk, m2.group(1), leaf), tf(value)
+            return
+        if rest == "gamma":
+            yield (blk, "gamma"), np.asarray(value)
+            return
+        raise KeyError(f"unmapped ConvNeXt block key: {rest}")
+    m = re.match(r"^tail\.(.+)$", key)
+    if m:
+        yield from _map_tail(m.group(1), value)
+        return
+    raise KeyError(f"unmapped ConvNeXt key: {key}")
+
+
+def map_dbpn_key(key: str, value) -> Iterable[Tuple[Path, np.ndarray]]:
+    """DBPN (/root/reference/networks/dbpn.py:151-243). PReLU slopes are
+    skipped (fixed 0.25 on the flax side, equal to the torch init)."""
+    if key.endswith("activation.weight"):
+        return
+    m = re.match(r"^input_conv_([01])\.(weight|bias)$", key)
+    if m:
+        yield from _yield_conv((f"input_conv_{m.group(1)}",), m.group(2), value)
+        return
+    m = re.match(r"^(up|down)_units\.(\d+)\.(.+)$", key)
+    if m:
+        unit = f"{m.group(1)}_{m.group(2)}"
+        rest = m.group(3)
+        m2 = re.match(r"(deconv(?:_[01])?)\.(weight|bias)$", rest)
+        if m2:
+            if m2.group(2) == "weight":
+                yield (unit, m2.group(1), "deconv", "kernel"), _conv_t_w(value)
+            else:
+                yield (unit, m2.group(1), "deconv", "bias"), np.asarray(value)
+            return
+        m2 = re.match(r"(conv(?:_[01])?|input)\.(weight|bias)$", rest)
+        if m2:
+            yield from _yield_conv((unit, m2.group(1)), m2.group(2), value)
+            return
+        raise KeyError(f"unmapped DBPN unit key: {rest}")
+    m = re.match(r"^reconstruction\.(weight|bias)$", key)
+    if m:
+        yield from _yield_conv(("reconstruction",), m.group(1), value)
+        return
+    raise KeyError(f"unmapped DBPN key: {key}")
+
+
+def map_ipt_key(key: str, value) -> Iterable[Tuple[Path, np.ndarray]]:
+    """IPT (/root/reference/networks/ipt.py:15-357): per-scale conv
+    heads/tails + VisionTransformer body with torch MultiheadAttention
+    (fused in_proj_weight split into q/k/v projections)."""
+    if re.match(r"^(sub_mean|add_mean)\.", key):
+        return
+    m = re.match(r"^head\.(\d+)\.0\.(weight|bias)$", key)
+    if m:
+        yield from _yield_conv((f"head_{m.group(1)}_conv",), m.group(2), value)
+        return
+    m = re.match(r"^head\.(\d+)\.([12])\.(body\..+)$", key)
+    if m:
+        res = f"head_{m.group(1)}_res{int(m.group(2)) - 1}"
+        for path, v in _map_resblock_body(m.group(3), value):
+            yield (res,) + path, v
+        return
+    m = re.match(r"^tail\.(\d+)\.(.+)$", key)
+    if m:
+        yield from _map_tail(m.group(2), value, up=f"tail_{m.group(1)}_up",
+                             conv=f"tail_{m.group(1)}_conv")
+        return
+    m = re.match(r"^body\.(.+)$", key)
+    if not m:
+        raise KeyError(f"unmapped IPT key: {key}")
+    rest = m.group(1)
+    m = re.match(r"^linear_encoding\.(weight|bias)$", rest)
+    if m:
+        leaf, tf = _leaf("linear", m.group(1))
+        yield ("body", "linear_encoding", leaf), tf(value)
+        return
+    m = re.match(r"^mlp_head\.([03])\.(weight|bias)$", rest)
+    if m:
+        leaf, tf = _leaf("linear", m.group(2))
+        yield ("body", f"mlp_head_{0 if m.group(1) == '0' else 1}", leaf), tf(value)
+        return
+    if rest == "query_embed.weight":
+        yield ("body", "query_embed"), np.asarray(value)
+        return
+    if rest == "position_encoding.pe.weight":
+        yield ("body", "position_encoding"), np.asarray(value)
+        return
+    if rest == "position_encoding.position_ids":
+        return  # arange buffer, recomputed
+    m = re.match(r"^(encoder|decoder)\.layers\.(\d+)\.(.+)$", rest)
+    if m:
+        layer = f"{m.group(1)}_{m.group(2)}"
+        sub = m.group(3)
+        m2 = re.match(r"(self_attn|multihead_attn)\.in_proj_weight$", sub)
+        if m2:
+            w = np.asarray(value)
+            d = w.shape[1]
+            for i, name in enumerate(("q_proj", "k_proj", "v_proj")):
+                yield (("body", layer, m2.group(1), name, "kernel"),
+                       _linear_w(w[i * d:(i + 1) * d]))
+            return
+        m2 = re.match(r"(self_attn|multihead_attn)\.out_proj\.weight$", sub)
+        if m2:
+            yield (("body", layer, m2.group(1), "out_proj", "kernel"),
+                   _linear_w(value))
+            return
+        m2 = re.match(r"(linear[12])\.(weight|bias)$", sub)
+        if m2:
+            leaf, tf = _leaf("linear", m2.group(2))
+            yield ("body", layer, m2.group(1), leaf), tf(value)
+            return
+        m2 = re.match(r"(norm[123])\.(weight|bias)$", sub)
+        if m2:
+            leaf, tf = _leaf("norm", m2.group(2))
+            yield ("body", layer, m2.group(1), leaf), tf(value)
+            return
+        raise KeyError(f"unmapped IPT layer key: {sub}")
+    raise KeyError(f"unmapped IPT body key: {rest}")
+
+
 _MAPPERS = {
     "rdst": map_rdstsr_key,
     "swinir": map_swinir_key,
+    "edsr": map_edsr_key,
+    "srresnet": map_edsr_key,
+    "mdsr": map_mdsr_key,
+    "rdn": map_rdn_key,
+    "srdensenet": map_srdensenet_key,
+    "esrgan": map_esrgan_key,
+    "zssr": map_zssr_key,
+    "rcan": map_rcan_key,
+    "han": map_han_key,
+    "convnext": map_convnext_key,
+    "dbpn": map_dbpn_key,
+    "ipt": map_ipt_key,
 }
 
 

@@ -104,8 +104,10 @@ class DBPN(nn.Module):
         for i in range(self.t):
             if i and self.dense:
                 f = jnp.concatenate(ls, axis=-1)
+            # at i=1 the dense concat is a single nr-channel tensor, so the
+            # reference creates no 1x1 merge conv (dbpn.py:189-195: ic==oc)
             f = UpProjectionUnit(self.nr, self.sr_scale,
-                                 dense_input=bool(i and self.dense),
+                                 dense_input=self.dense and i > 1,
                                  dtype=self.dtype, name=f"up_{i}")(f)
             hs.append(f)
             if i != self.t - 1:

@@ -46,11 +46,16 @@ def _install_timm_shim():
     layers.DropPath = DropPath
     layers.to_2tuple = to_2tuple
     layers.trunc_normal_ = trunc_normal_
+    registry = types.ModuleType("timm.models.registry")
+    registry.register_model = lambda fn=None, **kw: (fn if fn is not None
+                                                     else (lambda f: f))
     models.layers = layers
+    models.registry = registry
     timm.models = models
     sys.modules["timm"] = timm
     sys.modules["timm.models"] = models
     sys.modules["timm.models.layers"] = layers
+    sys.modules["timm.models.registry"] = registry
 
 
 def import_reference_networks():
