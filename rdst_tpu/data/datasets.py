@@ -85,7 +85,8 @@ class MultiSRTrainDataset(SliceStore):
         self.sr_scales = list(paras.all_sr_scales)
         self.batch_size = paras.batch_size
         self.lr_patch_size = paras.patch_size
-        self.return_res_image = paras.return_res_image
+        self.return_res_image = (paras.return_res_image
+                                 or float(paras.get("residual_scale", 0) or 0) > 0)
         self.blur_method = paras.blur_method or None
         self.lr_image_size_remain = paras.lr_image_size_remain
         # the reference declares this key but never implements it; here it

@@ -256,7 +256,10 @@ class RDSTSR(nn.Module):
 
             out = MetaUpSampler(self.in_chans, dtype=self.dtype, name="tail_meta")(res, sr_scale)
             out = mean_shift(out, self.mean, self.std, "add")
-            return out
+            # crop away the window-multiple padding (scaled by the real
+            # trace-time scale; same semantics as the fixed-scale branch)
+            s_f = float(sr_scale if sr_scale is not None else self.sr_scale)
+            return out[:, : int(orig_hw[0] * s_f), : int(orig_hw[1] * s_f), :]
         out = res
         if self.sr_scale > 1:
             out = UpSampler(self.sr_scale, self.embed_dim, dtype=self.dtype,

@@ -106,7 +106,10 @@ class RDSTSR_N(nn.Module):
             from rdst_tpu.models.meta_upscale import MetaUpSampler
 
             out = MetaUpSampler(self.in_chans, dtype=self.dtype, name="tail_meta")(res, sr_scale)
-            return mean_shift(out, self.mean, self.std, "add")
+            out = mean_shift(out, self.mean, self.std, "add")
+            # crop away the window-multiple padding (scaled, like RDSTSR)
+            s_f = float(sr_scale if sr_scale is not None else self.sr_scale)
+            return out[:, : int(orig_hw[0] * s_f), : int(orig_hw[1] * s_f), :]
         out = res
         if self.sr_scale > 1:
             out = UpSampler(self.sr_scale, final_channels, dtype=self.dtype,

@@ -51,6 +51,8 @@ class SRTester:
         self.params = None
         self._eval_fns = {}
 
+        # MetaSR model embedding blend at eval (meta_sr_trainer.py:171-172)
+        self.residual_scale = float(paras.get("residual_scale", 0.0) or 0.0)
         self.patient_ids = testing_patient_ids(paras)
         self.sr_scales = list(paras.get("sr_scales_for_final_testing",
                                         paras.test_sr_scales))
@@ -126,7 +128,7 @@ class SRTester:
 
             model = self.model
 
-            @functools.partial(jax.jit, static_argnums=(2,))
+            @functools.partial(jax.jit, static_argnums=(2, 3))
             def eval_step(params, x, sr_factor, sr_scale=None):
                 return model.apply(params, x, sr_scale if sr_scale is not None
                                    else sr_factor)
@@ -158,10 +160,16 @@ class SRTester:
             else:
                 fn = self._eval_fn((lr.shape, s))
                 sr_scale = None
-                if self.paras.scale_free:
-                    sr_scale = jnp.full((lr.shape[0], 1),
-                                        float(pairs[0][s]["real_sr_scale"]))
+                if self.paras.scale_free:  # static real scale
+                    sr_scale = float(pairs[0][s]["real_sr_scale"])
                 out = np.asarray(fn(self.params, jnp.asarray(lr), float(s), sr_scale))
+            if self.residual_scale > 0 and not self.bicubic:
+                res = np.stack([
+                    np.asarray(ops.resize(x, p[s]["gt"].shape[:2])).reshape(
+                        out.shape[1:])
+                    for x, p in zip(lr, pairs)
+                ])
+                out = out * (1.0 - self.residual_scale) + res * self.residual_scale
             for i in range(len(pairs)):
                 recs[i][s] = out[i]
         return recs, pairs
@@ -189,7 +197,7 @@ class SRTester:
                 block = np.concatenate([block, block[-1:].repeat(pad, 0)])
             sr_scale = None
             if self.paras.scale_free:
-                sr_scale = jnp.full((block.shape[0], 1), float(s))
+                sr_scale = float(s)
             fn = self._eval_fn(((chunk,) + patches.shape[1:], s, "tiled"))
             res = np.asarray(fn(self.params, jnp.asarray(block), float(s), sr_scale))
             outs.append(res[: res.shape[0] - pad] if pad else res)

@@ -80,6 +80,9 @@ class SRTrainer:
         self.epochs_in_total: Dict[str, int] = dict(paras.epochs_in_total)
         self.check_every = paras.check_every
         self.loss_threshold = paras.loss_threshold
+        # MetaSR model embedding: blend the reconstruction with the
+        # interpolated-LR residual image (meta_sr_trainer.py:111-112)
+        self.residual_scale = float(paras.get("residual_scale", 0.0) or 0.0)
         self.batch_size = paras.batch_size
 
         self.quick_eva_func = ds_valid.get_quick_eva_func()
@@ -119,8 +122,11 @@ class SRTrainer:
         x0 = jnp.zeros((1, self.paras.patch_size, self.paras.patch_size,
                         self.paras.input_channel), jnp.float32)
         if self.paras.scale_free:
-            sr_scale = jnp.full((1, 1), float(max(self.ds_train.sr_scales)))
-            params = jax.jit(self.model.init)(jax.random.PRNGKey(0), x0, sr_scale)
+            # static scale: MetaUpSampler's index plan resolves at trace time
+            smax = float(max(self.ds_train.sr_scales))
+            params = jax.jit(
+                lambda r, x: self.model.init(r, x, smax)
+            )(jax.random.PRNGKey(0), x0)
         else:
             # touch every training scale at init: the multi-scale conv
             # families (MDSR/IPT) create per-scale heads/tails lazily;
@@ -220,24 +226,29 @@ class SRTrainer:
     def _make_train_step(self, training_state: str):
         scalars = self.loss.loss_scalars[training_state]
         threshold = float(self.loss_threshold)
-        scale_free = self.paras.scale_free
         model, tx, loss = self.model, self.tx, self.loss
         adv = self.loss.adversarial
         gan_active = adv is not None and any("GAN" in n for n in scalars)
 
         def forward(p, batch, rng, sr_factor):
-            # scale_free models take a traced per-item scale column; the
-            # multi-scale conv families (MDSR/IPT) take the batch's scale as
-            # a static python float (one compiled step per scale bucket)
-            sr_arg = batch.get("sr_scales") if scale_free else sr_factor
+            # every family takes the batch's scale as a static python float
+            # (one compiled step per scale bucket): MetaUpSampler's index
+            # plan is resolved at trace time, and MDSR/IPT pick per-scale
+            # heads statically. scale_free batches carry the REAL
+            # (integer-rounded) scale in sr_factor; the per-item scale
+            # column stays in the batch for the scale-conditional losses.
             return model.apply(
-                p, batch["in"], sr_arg,
+                p, batch["in"], sr_factor,
                 deterministic=False,
                 rngs={"dropout": rng, "droppath": jax.random.fold_in(rng, 1)},
             )
 
+        rs = self.residual_scale
+
         def g_loss_and_report(p, batch, rng, d_state, sr_factor):
             pred = forward(p, batch, rng, sr_factor)
+            if rs > 0:  # model embedding (meta_sr_trainer.py:111-112)
+                pred = pred * (1.0 - rs) + batch["res"] * rs
             if d_state is not None:
                 batch = dict(batch, _adv_state=d_state)
             total = jnp.float32(0.0)
@@ -289,7 +300,7 @@ class SRTrainer:
         if shape not in self._eval_fns:
             model = self.model
 
-            @partial(jax.jit, static_argnums=(2,))
+            @partial(jax.jit, static_argnums=(2, 3))
             def eval_step(params, x, sr_factor, sr_scale=None):
                 return model.apply(params, x, sr_scale if sr_scale is not None
                                    else sr_factor)
@@ -337,6 +348,8 @@ class SRTrainer:
                 host_batch = {"in": batch["in"], "out": batch["out"]}
                 if "seg_gt" in batch:
                     host_batch["seg_gt"] = batch["seg_gt"]
+                if self.residual_scale > 0:
+                    host_batch["res"] = batch["res"]
                 if self.paras.scale_free:
                     host_batch["sr_scales"] = np.full(
                         (batch["in"].shape[0], 1), batch["real_sr_scale"], np.float32)
@@ -346,7 +359,9 @@ class SRTrainer:
                 gan_active = (self.loss.adversarial is not None and
                               any("GAN" in n for n in
                                   self.loss.loss_scalars[ts]))
-                sr_factor = float(batch["sr_factor"])
+                sr_factor = float(batch["real_sr_scale"]
+                                  if self.paras.scale_free
+                                  else batch["sr_factor"])
                 if gan_active:
                     (self.state.params, self.state.opt_state, self.d_state,
                      total, report, ok) = step_fn(
@@ -392,9 +407,18 @@ class SRTrainer:
             lr = np.concatenate([p[s]["in"] for p in pairs], axis=0)
             fn = self._eval_fn(lr.shape + (s,))
             sr_scale = None
-            if self.paras.scale_free:
-                sr_scale = jnp.full((lr.shape[0], 1), float(pairs[0][s]["real_sr_scale"]))
+            if self.paras.scale_free:  # static real scale (trace-time plan)
+                sr_scale = float(pairs[0][s]["real_sr_scale"])
             out = np.asarray(fn(self.state.params, jnp.asarray(lr), float(s), sr_scale))
+            if self.residual_scale > 0:  # meta_sr_trainer.py:171-172
+                from rdst_tpu.data import ops as _ops
+
+                res = np.stack([
+                    np.asarray(_ops.resize(x, p[s]["gt"].shape[:2])).reshape(
+                        out.shape[1:])
+                    for x, p in zip(lr, pairs)
+                ])
+                out = out * (1.0 - self.residual_scale) + res * self.residual_scale
             for i in range(len(ids)):
                 recs[i][s] = out[i]
         return recs, pairs

@@ -195,3 +195,52 @@ def test_golden_trained_model_quality(tmp_path):
     stacked = tester.test()
     mean_psnr = float(np.mean(stacked["psnr_4.0"]))
     assert mean_psnr >= 27.5, mean_psnr
+
+
+def test_metasr_residual_scale_blending(e2e_env):
+    """scale_free training + eval with residual_scale=0.8: the model
+    embedding blends rec*(1-rs) + interpolated-LR*rs at every stage
+    (reference meta_sr_trainer.py:111-112, 171-172)."""
+    import copy
+
+    root, p0 = e2e_env
+    p = copy.deepcopy(p0)
+    p.set("model_name", "RDST_TINY_METARS")
+    p.set("scale_free", True)
+    p.set("all_sr_scales", [2.0, 4.0])
+    p.set("test_sr_scales", [4.0])
+    p.set("sr_scales_for_final_testing", [4.0])
+    p.set("residual_scale", 0.8)
+    p.set("epochs_in_total", {"WarmUP": 2})
+    p.set("check_every", 2)
+
+    from rdst_tpu.data.readers import make_train_valid_datasets
+    from rdst_tpu.runners.trainer import SRTrainer
+
+    ds_train, ds_valid = make_train_valid_datasets(p)
+    assert ds_train.return_res_image  # forced by residual_scale > 0
+    batch = ds_train.sample(np.random.default_rng(0))
+    assert len(batch["res"])  # datasets provide the residual image
+
+    trainer = SRTrainer(p, ds_train, ds_valid, seed=0)
+    assert trainer.residual_scale == 0.8
+    trainer.setup()
+    trainer.train()
+    assert len(trainer.training_loss_records["WarmUP"]) == 2
+
+    # with rs=0.8 the quick-eva recs are dominated by the bicubic residual:
+    # they must be close to it and far from the raw network output
+    ids = [0, 1]
+    recs, pairs = trainer._infer_pairs(ids)
+    from rdst_tpu.data import ops
+
+    for i, pid in enumerate(ids):
+        pair = pairs[i][4.0]
+        res = np.asarray(ops.resize(pair["in"][0], pair["gt"].shape[:2]))
+        res = res.reshape(recs[i][4.0].shape)
+        blend_err = np.abs(recs[i][4.0] - res).mean()
+        assert blend_err < 0.2 * np.abs(res).mean() + 0.05
+
+    trainer.residual_scale = 0.0
+    raw, _ = trainer._infer_pairs(ids)
+    assert np.abs(raw[0][4.0] - recs[0][4.0]).max() > 1e-4
