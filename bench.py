@@ -65,9 +65,17 @@ def main():
     hr_shape = (SLICES_PER_VOLUME, LR_SHAPE[0] * 4, LR_SHAPE[1] * 4, 1)
 
     params = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1,) + LR_SHAPE))
-    # data loading (untimed): HR volumes resident in HBM
-    volumes = jnp.asarray(
-        rng.random((N_DISTINCT_VOLUMES,) + hr_shape, dtype=np.float32))
+    # data loading (untimed): HR volumes resident in HBM, slices sharded
+    # over the 'data' mesh axis (no-op on one chip; on a pod each chip
+    # evaluates its slice shard and GSPMD keeps everything local)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from rdst_tpu.parallel import make_mesh
+
+    mesh = make_mesh()
+    volumes = jax.device_put(
+        rng.random((N_DISTINCT_VOLUMES,) + hr_shape, dtype=np.float32),
+        NamedSharding(mesh, P(None, "data")))
 
     def eva_volume(p, hr):
         lr = resize_nhwc(hr, LR_SHAPE[:2], "cubic").astype(dtype)

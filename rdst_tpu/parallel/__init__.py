@@ -6,4 +6,5 @@ from rdst_tpu.parallel.mesh import (  # noqa: F401
     replicate_tree,
     replicated,
     shard_batch,
+    shard_batch_padded,
 )

@@ -68,3 +68,16 @@ def shard_batch(mesh: Mesh, batch, axis: str = "data"):
 
 def replicate_tree(mesh: Mesh, tree):
     return jax.device_put(tree, replicated(mesh))
+
+
+def shard_batch_padded(mesh: Mesh, x, axis: str = "data"):
+    """Pad the leading dim up to a mesh-axis multiple (repeating the last
+    element) and shard it. Returns (device_array, original_size) — the
+    inference paths slice the padding back off after the fetch."""
+    x = np.asarray(x)
+    n = mesh.shape[axis]
+    b = x.shape[0]
+    pad = (-b) % n
+    if pad:
+        x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)], axis=0)
+    return jax.device_put(x, batch_sharding(mesh, axis)), b

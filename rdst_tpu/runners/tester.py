@@ -32,7 +32,7 @@ import numpy as np
 from rdst_tpu.data import ops
 from rdst_tpu.data.readers import make_test_dataset, testing_patient_ids
 from rdst_tpu.models import build_generator
-from rdst_tpu.parallel import make_mesh, replicate_tree
+from rdst_tpu.parallel import make_mesh, replicate_tree, shard_batch_padded
 
 
 def _fancy(msg: str) -> str:
@@ -158,11 +158,13 @@ class SRTester:
             elif tiled:
                 out = self._tiled_inference(lr, s, pairs)
             else:
-                fn = self._eval_fn((lr.shape, s))
+                # batch-parallel over the 'data' mesh axis (SURVEY §7.1.8)
+                xb, nb = shard_batch_padded(self.mesh, lr)
+                fn = self._eval_fn((xb.shape, s))
                 sr_scale = None
                 if self.paras.scale_free:  # static real scale
                     sr_scale = float(pairs[0][s]["real_sr_scale"])
-                out = np.asarray(fn(self.params, jnp.asarray(lr), float(s), sr_scale))
+                out = np.asarray(fn(self.params, xb, float(s), sr_scale))[:nb]
             if self.residual_scale > 0 and not self.bicubic:
                 res = np.stack([
                     np.asarray(ops.resize(x, p[s]["gt"].shape[:2])).reshape(
@@ -188,7 +190,8 @@ class SRTester:
                                 patch * si, stride * si)
         patches = np.asarray(lr_folder.unfold(jnp.asarray(lr)))
         fn = self._eval_fn((patches.shape, s, "tiled"))
-        chunk = max(self.paras.batch_size * 4, 8)
+        ndev = self.mesh.shape["data"]
+        chunk = -(-max(self.paras.batch_size * 4, 8) // ndev) * ndev
         outs = []
         for i in range(0, patches.shape[0], chunk):
             block = patches[i : i + chunk]
@@ -199,7 +202,8 @@ class SRTester:
             if self.paras.scale_free:
                 sr_scale = float(s)
             fn = self._eval_fn(((chunk,) + patches.shape[1:], s, "tiled"))
-            res = np.asarray(fn(self.params, jnp.asarray(block), float(s), sr_scale))
+            xb, _ = shard_batch_padded(self.mesh, block)
+            res = np.asarray(fn(self.params, xb, float(s), sr_scale))
             outs.append(res[: res.shape[0] - pad] if pad else res)
         sr_patches = np.concatenate(outs)
         return np.asarray(hr_folder.fold(jnp.asarray(sr_patches)))

@@ -36,7 +36,8 @@ import numpy as np
 
 from rdst_tpu.losses.sr_loss import SRLoss
 from rdst_tpu.models import build_generator
-from rdst_tpu.parallel import make_mesh, replicate_tree, shard_batch
+from rdst_tpu.parallel import (make_mesh, replicate_tree, shard_batch,
+                               shard_batch_padded)
 from rdst_tpu.utils.optim import Timer, make_optimizer
 
 
@@ -405,11 +406,14 @@ class SRTrainer:
         scales = sorted(pairs[0].keys())
         for s in scales:
             lr = np.concatenate([p[s]["in"] for p in pairs], axis=0)
-            fn = self._eval_fn(lr.shape + (s,))
+            # batch-parallel slice inference over the 'data' mesh axis
+            # (SURVEY §7.1.8); padding keeps any N valid
+            xb, nb = shard_batch_padded(self.mesh, lr)
+            fn = self._eval_fn(xb.shape + (s,))
             sr_scale = None
             if self.paras.scale_free:  # static real scale (trace-time plan)
                 sr_scale = float(pairs[0][s]["real_sr_scale"])
-            out = np.asarray(fn(self.state.params, jnp.asarray(lr), float(s), sr_scale))
+            out = np.asarray(fn(self.state.params, xb, float(s), sr_scale))[:nb]
             if self.residual_scale > 0:  # meta_sr_trainer.py:171-172
                 from rdst_tpu.data import ops as _ops
 

@@ -79,3 +79,33 @@ class TestMesh:
         import __graft_entry__ as g
 
         g.dryrun_multichip(8)
+
+
+def test_padded_batch_sharded_inference_matches_single_device():
+    """Mesh-sharded whole-slice inference (SURVEY §7.1.8): a 13-slice
+    batch (not divisible by 8) padded+sharded over the 8-device mesh is
+    bitwise equal to the single-device result."""
+    import jax
+    import numpy as np
+
+    from rdst_tpu.models.rdst import RDSTSR
+    from rdst_tpu.parallel import make_mesh, shard_batch_padded
+
+    model = RDSTSR(embed_dim=12, dense_layer_depths=(2,), num_heads=(2,),
+                   window_size=(4,), rdb_depths=(1,), growth_rate=12,
+                   sr_scale=2, mlp_ratio=2.0)
+    x = np.random.default_rng(0).random((13, 8, 12, 1)).astype(np.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x[:1])
+    fn = jax.jit(lambda p, a: model.apply(p, a))
+
+    mesh8 = make_mesh()
+    assert mesh8.shape["data"] == 8
+    xb, nb = shard_batch_padded(mesh8, x)
+    assert xb.shape[0] == 16 and nb == 13
+    out8 = np.asarray(fn(params, xb))[:nb]
+
+    mesh1 = make_mesh(devices=jax.devices()[:1])
+    x1, _ = shard_batch_padded(mesh1, x)
+    out1 = np.asarray(fn(params, x1))
+    assert out8.shape == out1.shape == (13, 16, 24, 1)
+    np.testing.assert_array_equal(out8, out1)
