@@ -121,12 +121,80 @@ def export_rdstsr(params, mean=(0.0,), std=(1.0,)) -> Dict[str, np.ndarray]:
     return sd
 
 
+def export_swinir(params) -> Dict[str, np.ndarray]:
+    """Flax SwinIR params -> reference SwinIR state_dict (numpy values).
+
+    The reference's ``mean`` buffer (img_range mean shift,
+    swin_transformer_sr.py:605-868) is registered by the torch module
+    itself — load with strict=False like the rel-pos/mask buffers."""
+    from flax.traverse_util import flatten_dict
+
+    flat = flatten_dict(params["params"] if "params" in params else params)
+    sd: Dict[str, np.ndarray] = {}
+    for path, v in flat.items():
+        p = "/".join(path)
+        v = np.asarray(v)
+        m = re.match(
+            r"^(conv_first|conv_after_body|conv_last|conv_hr|conv_up1|conv_up2)"
+            r"/conv/(kernel|bias)$", p)
+        if m:
+            leaf = "weight" if m.group(2) == "kernel" else "bias"
+            sd[f"{m.group(1)}.{leaf}"] = _conv_w(v) if v.ndim == 4 else v
+            continue
+        m = re.match(r"^conv_before_upsample/conv/(kernel|bias)$", p)
+        if m:
+            leaf = "weight" if m.group(1) == "kernel" else "bias"
+            sd[f"conv_before_upsample.0.{leaf}"] = (
+                _conv_w(v) if v.ndim == 4 else v)
+            continue
+        if p.startswith("patch_embed_norm/"):
+            leaf = "weight" if p.endswith("scale") else "bias"
+            sd[f"patch_embed.norm.{leaf}"] = v
+            continue
+        if p == "absolute_pos_embed":
+            sd[p] = v
+            continue
+        if p.startswith("norm/"):
+            leaf = "weight" if p.endswith("scale") else "bias"
+            sd[f"norm.{leaf}"] = v
+            continue
+        m = re.match(r"^upsample_conv/conv/(kernel|bias)$", p)
+        if m:  # UpsampleOneStep (pixelshuffledirect)
+            leaf = "weight" if m.group(1) == "kernel" else "bias"
+            sd[f"upsample.0.{leaf}"] = _conv_w(v) if v.ndim == 4 else v
+            continue
+        m = re.match(r"^upsample_(\d+)/conv/(kernel|bias)$", p)
+        if m:  # classical Upsample chain: convs at even indices
+            leaf = "weight" if m.group(2) == "kernel" else "bias"
+            sd[f"upsample.{2 * int(m.group(1))}.{leaf}"] = (
+                _conv_w(v) if v.ndim == 4 else v)
+            continue
+        m = re.match(r"^layers_(\d+)/conv(?:_(\d+))?/conv/(kernel|bias)$", p)
+        if m:
+            idx = f".{m.group(2)}" if m.group(2) else ""
+            leaf = "weight" if m.group(3) == "kernel" else "bias"
+            sd[f"layers.{m.group(1)}.conv{idx}.{leaf}"] = (
+                _conv_w(v) if v.ndim == 4 else v)
+            continue
+        m = re.match(r"^layers_(\d+)/residual_group/(.+)$", p)
+        if m:
+            key, val = _swin_leaf("/" + m.group(2), v)
+            sd[f"layers.{m.group(1)}.residual_group" + key] = val
+            continue
+        raise KeyError(f"unmapped flax path for SwinIR export: {p}")
+    return sd
+
+
 def save_torch_checkpoint(params, path: str, arch: str = "rdst",
                           mean=(0.0,), std=(1.0,)) -> None:
     import torch
 
-    if arch != "rdst":
-        raise NotImplementedError("export currently supports the RDSTSR layout")
-    sd = export_rdstsr(params, mean, std)
+    if arch == "rdst":
+        sd = export_rdstsr(params, mean, std)
+    elif arch == "swinir":
+        sd = export_swinir(params)
+    else:
+        raise NotImplementedError(
+            "export supports the RDSTSR and SwinIR layouts")
     torch.save({k: torch.from_numpy(np.ascontiguousarray(v).copy())
                 for k, v in sd.items()}, path)

@@ -146,3 +146,31 @@ class TestTorchExport:
 
         got = ref.torch_forward_nhwc(tmodel, x)
         assert np.abs(got - want).max() < 2e-4
+
+    @pytest.mark.parametrize("upsampler", ["pixelshuffledirect", "pixelshuffle"])
+    def test_swinir_export_roundtrip(self, ref, upsampler):
+        """flax SwinIR -> torch state_dict -> reference model -> same output."""
+        import jax
+
+        from rdst_tpu.checkpoint.torch_export import export_swinir
+        from rdst_tpu.models.swinir import make_swinir
+
+        paras = _paras(sir_upsampler=upsampler)
+        jmodel = make_swinir(paras)
+        x = np.random.default_rng(6).random((1, 16, 16, 1)).astype(np.float32)
+        jparams = jmodel.init(jax.random.PRNGKey(4), x)
+        want = np.asarray(jmodel.apply(jparams, x))
+
+        import torch
+
+        sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+              for k, v in export_swinir(jparams).items()}
+        swin_sr, _ = ref.import_reference_networks()
+        tmodel = swin_sr.swinir_make_model(paras)
+        missing, unexpected = tmodel.load_state_dict(sd, strict=False)
+        assert all(("relative_position_index" in k or "attn_mask" in k
+                    or k == "mean") for k in missing), missing
+        assert not unexpected, unexpected
+
+        got = ref.torch_forward_nhwc(tmodel, x)
+        assert np.abs(got - want).max() < 2e-4
