@@ -35,9 +35,14 @@ _TAPS = {"22": 8, "54": 35}
 
 
 class VGG19Features(nn.Module):
-    """VGG19 .features truncated at a tap index (torchvision numbering)."""
+    """VGG19 .features truncated at a tap index (torchvision numbering).
+
+    ``width`` scales every conv's channel count (1.0 = torchvision
+    vgg19; the committed native substitute is trained at 0.25 — same
+    topology and taps, 16x fewer FLOPs)."""
 
     tap: int  # number of torchvision feature modules to apply
+    width: float = 1.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -53,7 +58,8 @@ class VGG19Features(nn.Module):
             else:
                 if module_idx >= self.tap:
                     break
-                x = nn.Conv(item, (3, 3), padding=1, dtype=self.dtype,
+                x = nn.Conv(max(8, int(item * self.width)), (3, 3),
+                            padding=1, dtype=self.dtype,
                             kernel_init=torch_conv_init,
                             name=f"conv_{conv_idx}")(x)
                 conv_idx += 1
@@ -92,6 +98,34 @@ def load_vgg19_params(tap: int, path: str | None = None):
     return {"params": params}
 
 
+def load_native_features(tap: int, path: str | None = None):
+    """Load the natively-trained substitute feature stack (a pickle of
+    {'width', 'params'} saved by runners/train_vgg_features.py),
+    truncated to the requested tap. Returns (variables|None, width)."""
+    import pickle
+
+    path = path or os.environ.get("RDST_TPU_VGG19_NATIVE",
+                                  "weights/vgg19_features_native.pkl")
+    if not os.path.exists(path):
+        return None, 1.0
+    with open(path, "rb") as f:
+        blob = pickle.load(f)
+    # keep only the convs below the tap (module numbering as in loader)
+    keep = set()
+    conv_idx = module_idx = 0
+    for item in _VGG19_CFG:
+        if module_idx >= tap:
+            break
+        if item == "M":
+            module_idx += 1
+            continue
+        keep.add(f"conv_{conv_idx}")
+        conv_idx += 1
+        module_idx += 2
+    params = {k: v for k, v in blob["params"].items() if k in keep}
+    return {"params": params}, float(blob.get("width", 1.0))
+
+
 class VGGLoss:
     """Callable term(pred, target, batch) for the SRLoss registry."""
 
@@ -101,7 +135,7 @@ class VGGLoss:
     def __init__(self, name: str, variables=None):
         conv_index = "54" if "54" in name else "22"
         self.tap = _TAPS[conv_index]
-        self.model = VGG19Features(tap=self.tap)
+        width = 1.0
         self.variables = variables
         if self.variables is None:
             # Minc_VGG* uses the materials-trained VGG19 (reference
@@ -110,6 +144,11 @@ class VGGLoss:
             if name.startswith("Minc"):
                 path = os.environ.get("RDST_TPU_MINC_VGG19_PT", "weights/minc_vgg19.pt")
             self.variables = load_vgg19_params(self.tap, path)
+        if self.variables is None:
+            # committed native substitute: a width-scaled VGG19 feature
+            # stack trained on the phantom corpus (train_vgg_features.py)
+            self.variables, width = load_native_features(self.tap)
+        self.model = VGG19Features(tap=self.tap, width=width)
         if self.variables is None:
             warnings.warn(
                 f"VGGLoss({name}): no VGG19 weights found; using a frozen "

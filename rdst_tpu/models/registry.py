@@ -16,7 +16,7 @@ import jax.numpy as jnp
 MODEL_REGISTRY: Dict[str, Callable] = {}
 
 BUILTIN_GENERATORS = (
-    "rdst", "swinir", "edsr", "rdn", "rcan", "han",
+    "rdst", "estsr", "ESTSR", "swinir", "edsr", "rdn", "rcan", "han",
     "convnet-large", "convnet-lite", "srresnet", "SRResNet",
     "srdensenet", "SRDenseNet", "esrgan", "ESRGAN", "mdsr", "MDSR",
     "metasr", "MetaSR", "ipt", "dbpn", "DBPN", "zssr", "ZSSR",
@@ -52,6 +52,10 @@ def _load_builtin(name: str) -> None:
         from rdst_tpu.models.rdst import make_rdst
 
         MODEL_REGISTRY["rdst"] = make_rdst
+    elif name in ("estsr", "ESTSR"):
+        from rdst_tpu.models.estsr import make_estsr
+
+        MODEL_REGISTRY[name] = make_estsr
     elif name == "swinir":
         from rdst_tpu.models.swinir import make_swinir
 

@@ -172,3 +172,31 @@ class TestCNNParity:
         want = torch_ref.torch_forward_nhwc(tm, x)
         got = np.asarray(jm.apply(params, x))
         assert np.abs(got - want).max() < 1e-5
+
+
+class TestESTSR:
+    def test_forward_shape_and_rrdstb_depth(self):
+        """ESTSR (swinIR_variations.py:349-596, dead in the reference):
+        num_rrdb_blocks x RRDSTB trunk + PixelShuffle tail."""
+        import jax
+        import jax.numpy as jnp
+
+        from rdst_tpu.models import build_generator
+
+        p = _paras(feature_generator="estsr")
+        p.set("rdst_embed_dim", 12)
+        p.set("rdst_num_heads", [2, 2])
+        p.set("rdst_window_size", [4, 4])
+        p.set("rdst_dense_layer_depths", [1, 1])
+        p.set("rdst_rdb_depths", [1, 1])
+        p.set("rdst_growth_rate", 12)
+        p.set("estsr_num_rrdb_blocks", 2)
+        p.set("estsr_rrdb_depths", [2, 2])
+        m = build_generator(p)
+        x = jnp.zeros((1, 8, 12, 1))
+        params = m.init(jax.random.PRNGKey(0), x)
+        # 2 RRDSTB, each with 2 RDSTBs
+        assert "body_1" in params["params"]
+        assert "body_1" in params["params"]["body_0"]
+        y = m.apply(params, x)
+        assert y.shape == (1, 32, 48, 1)
