@@ -71,6 +71,49 @@ class _RandomProjectionFeatures:
         return np.stack(feats)
 
 
+class _NativeVGGFeatures:
+    """Learned fallback: pooled features from the natively-trained VGG
+    substitute (weights/vgg19_features_native.pkl, see
+    runners/train_vgg_features.py). Values are still not comparable to
+    published Inception FIDs, but the embedding is a LEARNED structural
+    one rather than a random projection."""
+
+    def __init__(self, variables, width: float, batch_size: int = 16):
+        import jax
+        import jax.numpy as jnp
+
+        from rdst_tpu.losses.vgg import _TAPS, VGG19Features
+
+        model = VGG19Features(tap=_TAPS["54"], width=width)
+        self.batch_size = batch_size
+
+        @jax.jit
+        def feats(x):
+            f = model.apply(variables, x)
+            return jnp.mean(f, axis=(1, 2))  # global average pool
+
+        self._feats = feats
+        self._jnp = jnp
+
+    def __call__(self, imgs: List[np.ndarray]) -> np.ndarray:
+        jnp = self._jnp
+        out = []
+        for i in range(0, len(imgs), self.batch_size):
+            block = []
+            for img in imgs[i:i + self.batch_size]:
+                img = np.asarray(img, dtype=np.float32)
+                if img.ndim == 2:
+                    img = img[:, :, None]
+                if img.shape[-1] == 1:
+                    img = np.repeat(img, 3, axis=-1)
+                block.append(img[..., :3])
+            h = min(b.shape[0] for b in block)
+            w = min(b.shape[1] for b in block)
+            x = jnp.asarray(np.stack([b[:h, :w] for b in block]))
+            out.append(np.asarray(self._feats(x)))
+        return np.concatenate(out)
+
+
 _warned = False
 
 
@@ -91,6 +134,14 @@ class FID:
                 self.extractor = InceptionFeatures(weights, block_idx, batch_size)
             except Exception as e:  # pragma: no cover
                 warnings.warn(f"could not load inception weights: {e}")
+        if self.extractor is None:
+            from rdst_tpu.losses.vgg import load_native_features
+            from rdst_tpu.losses.vgg import _TAPS
+
+            variables, width = load_native_features(_TAPS["54"])
+            if variables is not None:
+                self.extractor = _NativeVGGFeatures(variables, width,
+                                                    batch_size)
         if self.extractor is None:
             if not _warned:
                 warnings.warn(

@@ -196,3 +196,38 @@ class TestAdversarial:
         recs = trainer.loss.records["GAN-FT"]
         assert "GAN" in recs and "Adv_D" in recs
         assert all(np.isfinite(v) for v in recs["Adv_D"])
+
+
+class TestNativeVGGAssets:
+    """The committed VGG substitute makes VGG/FID paths learned, not random."""
+
+    def test_vgg_loss_uses_native_weights(self):
+        import pathlib
+        import warnings
+
+        import jax.numpy as jnp
+
+        from rdst_tpu.losses.vgg import VGGLoss
+
+        assert (pathlib.Path(__file__).parents[1]
+                / "weights" / "vgg19_features_native.pkl").exists()
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # random-init fallback must not fire
+            loss = VGGLoss("VGG22")
+        a = jnp.zeros((1, 32, 32, 1))
+        b = jnp.ones((1, 32, 32, 1)) * 0.3
+        assert float(loss(a, b)) > 0
+        assert float(loss(a, a)) == 0.0
+
+    def test_fid_uses_native_features(self):
+        import numpy as np
+
+        from rdst_tpu.metrics.fid import FID
+
+        f = FID()
+        assert type(f.extractor).__name__ == "_NativeVGGFeatures"
+        rng = np.random.default_rng(0)
+        a = [rng.random((32, 32, 1)).astype(np.float32) for _ in range(8)]
+        b = [x + 0.2 * rng.standard_normal(x.shape).astype(np.float32)
+             for x in a]
+        assert f(a, b) > f(a, [x.copy() for x in a]) + 1e-3
