@@ -20,14 +20,29 @@ order is reproducible and shardable across hosts.
 from __future__ import annotations
 
 import math
+import os
 from typing import Iterable, Optional, Sequence, Tuple, Union
 
-import cv2
 import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover - image path falls back to native
+    cv2 = None
+
+
+def _native_backend():
+    """The C++ backend (rdst_tpu.native) when selected or when cv2 is
+    absent; None otherwise."""
+    if cv2 is not None and os.environ.get("RDST_TPU_NATIVE", "") != "1":
+        return None
+    from rdst_tpu import native
+
+    return native if native.available() else None
 
 Size2 = Tuple[int, int]
 
-_INTERP = {
+_INTERP = {} if cv2 is None else {
     None: cv2.INTER_CUBIC,
     "cubic": cv2.INTER_CUBIC,
     "linear": cv2.INTER_LINEAR,
@@ -68,8 +83,16 @@ def resize(
     a trailing channel axis even when cv2 squeezes single channels.
     """
     h, w = _out_size(img, size)
+    native = _native_backend()
     if (h, w) == img.shape[:2]:
         out = img
+    elif (native is not None and interpolation in (None, "cubic")
+          and blur_method != "gaussian"):
+        out = native.resize_bicubic(np.asarray(img, np.float32), (h, w))
+    elif cv2 is None:
+        raise RuntimeError(
+            f"resize(interpolation={interpolation!r}, blur={blur_method!r}) "
+            "needs cv2; only the bicubic path has a native backend")
     else:
         out = cv2.resize(img, dsize=(w, h), interpolation=_INTERP[interpolation])
     if blur_method == "gaussian":
@@ -187,6 +210,14 @@ class ImagePadding:
 
 def dihedral(img: np.ndarray, k: int) -> np.ndarray:
     """One of the 8 dihedral transforms (rot90 x k%4, flip if k>=4)."""
+    native = _native_backend()
+    if native is not None and img.ndim in (2, 3):
+        out = np.asarray(img, np.float32)
+        if k >= 4:
+            out = native.fliplr(out)
+        for _ in range(k % 4):  # np.rot90 == flipud(transpose)
+            out = native.flipud(native.transpose(out))
+        return out
     if k >= 4:
         img = img[:, ::-1]
     return np.ascontiguousarray(np.rot90(img, k % 4))

@@ -1,0 +1,121 @@
+"""Native (C++) data-path backend, ctypes-bound.
+
+The reference's data loader is native under the hood (cv2's C++ resize,
+nibabel's C IO); this package is the framework's own native layer for
+the host-side hot path — cv2-INTER_CUBIC-parity bicubic resize and the
+dihedral-augmentation primitives the training sampler uses.
+
+The shared library auto-builds from ``image_ops.cpp`` with g++ on first
+import (cached next to the source); everything degrades gracefully to
+the numpy/cv2 path when no toolchain is available. Select with
+``RDST_TPU_NATIVE=1`` (data ops prefer the native backend) or ``=0``
+(never). Parity vs cv2 is gated in tests/test_native.py.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import warnings
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "image_ops.cpp")
+_LIB = os.path.join(_DIR, "libimage_ops.so")
+
+_lib = None
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _LIB],
+            check=True, capture_output=True, timeout=120)
+        return True
+    except Exception as e:  # pragma: no cover - toolchain-dependent
+        warnings.warn(f"rdst_tpu.native: build failed ({e}); "
+                      "falling back to the numpy/cv2 data path")
+        return False
+
+
+def load():
+    """Load (building if needed) the native library; None if unavailable."""
+    global _lib
+    if _lib is not None:
+        return _lib
+    if os.environ.get("RDST_TPU_NATIVE", "") == "0":
+        return None
+    if not os.path.exists(_LIB) or (
+            os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+        if not _build():
+            return None
+    lib = ctypes.CDLL(_LIB)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    lib.rdst_resize_bicubic_f32.argtypes = [
+        f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        f32p, ctypes.c_int, ctypes.c_int]
+    for name in ("rdst_transpose_f32", "rdst_flipud_f32", "rdst_fliplr_f32"):
+        getattr(lib, name).argtypes = [
+            f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, f32p]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return load() is not None
+
+
+def _as_hwc_f32(img: np.ndarray) -> np.ndarray:
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[:, :, None]
+    return np.ascontiguousarray(img, np.float32), squeeze
+
+
+def _ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def resize_bicubic(img: np.ndarray, size) -> np.ndarray:
+    """cv2.INTER_CUBIC-parity bicubic resize (float32, HW or HWC)."""
+    lib = load()
+    src, squeeze = _as_hwc_f32(img)
+    h, w, c = src.shape
+    dh, dw = int(size[0]), int(size[1])
+    dst = np.empty((dh, dw, c), np.float32)
+    lib.rdst_resize_bicubic_f32(_ptr(src), h, w, c, _ptr(dst), dh, dw)
+    return dst[:, :, 0] if squeeze else dst
+
+
+def _unary(name: str, img: np.ndarray, swap: bool) -> np.ndarray:
+    lib = load()
+    src, squeeze = _as_hwc_f32(img)
+    h, w, c = src.shape
+    dst = np.empty((w, h, c) if swap else (h, w, c), np.float32)
+    getattr(lib, name)(_ptr(src), h, w, c, _ptr(dst))
+    return dst[:, :, 0] if squeeze else dst
+
+
+def transpose(img):
+    return _unary("rdst_transpose_f32", img, swap=True)
+
+
+def flipud(img):
+    return _unary("rdst_flipud_f32", img, swap=False)
+
+
+def fliplr(img):
+    return _unary("rdst_fliplr_f32", img, swap=False)
+
+
+def dihedral(img: np.ndarray, k: int) -> np.ndarray:
+    """The 8 dihedral transforms: k&4 -> transpose first, then k&3
+    quarter-turns (rot90 = transpose + flipud composition)."""
+    out = img
+    if k & 4:
+        out = transpose(out)
+    for _ in range(k & 3):
+        out = flipud(transpose(out))
+    return out
