@@ -114,6 +114,24 @@ def _layernorm(xf, gamma, beta):
     return xn * gamma + beta
 
 
+def _normalize(xf):
+    """Affine-free LayerNorm (fast path): the gamma/beta affine is folded
+    into the downstream weight matrix at trace time (LN feeds only a
+    Linear here, and (x̂·γ+β)W = x̂·(γ⊙W) + βW), saving one full-width
+    VPU pass per LN.
+
+    Uses the one-shot moments form E[x²]−E[x]²: two reduce passes + a
+    single FMA output pass, instead of reduce/subtract/reduce/scale.
+    Cancellation is a non-issue here: post-residual activations are
+    O(1)-centered and the accumulation is f32 (the precise path keeps
+    the two-pass centered form)."""
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    ex2 = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    var = jnp.maximum(ex2 - mu * mu, 0.0)
+    a = jax.lax.rsqrt(var + _EPS)
+    return xf * a - mu * a
+
+
 def _block_kernel(nH, scale, T, N, C, nW, fast,
                   x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
                   g1_ref, b1_ref, g2_ref, b2_ref,
@@ -123,9 +141,14 @@ def _block_kernel(nH, scale, T, N, C, nW, fast,
     x = x_ref[0]  # (T*N, C)
     xf = x.astype(jnp.float32)
 
-    g1 = g1_ref[...].astype(jnp.float32)
-    b1 = b1_ref[...].astype(jnp.float32)
-    xn = _layernorm(xf, g1, b1).astype(cdt)
+    if fast:
+        # LN affine and the qk scale are pre-folded into wqkv/bqkv
+        # (see fused_swin_block): normalize-only LN, no q·scale pass
+        xn = _normalize(xf).astype(cdt)
+    else:
+        g1 = g1_ref[...].astype(jnp.float32)
+        b1 = b1_ref[...].astype(jnp.float32)
+        xn = _layernorm(xf, g1, b1).astype(cdt)
 
     # three separate projections (instead of one (T·N, 3C) f32 dot) to
     # bound peak VMEM when T spans several images
@@ -134,7 +157,8 @@ def _block_kernel(nH, scale, T, N, C, nW, fast,
                     preferred_element_type=jnp.float32)
         return y + bqkv_ref[0, lo:lo + C][None].astype(jnp.float32)
 
-    q = (proj(0) * scale).astype(cdt).reshape(T, N, C)
+    q = proj(0) if fast else proj(0) * scale
+    q = q.astype(cdt).reshape(T, N, C)
     k = proj(C).astype(cdt).reshape(T, N, C)
     v = proj(2 * C).astype(cdt).reshape(T, N, C)
 
@@ -184,9 +208,12 @@ def _block_kernel(nH, scale, T, N, C, nW, fast,
 
     x1 = xf + y  # residual 1 (f32)
 
-    g2 = g2_ref[...].astype(jnp.float32)
-    b2 = b2_ref[...].astype(jnp.float32)
-    x1n = _layernorm(x1, g2, b2).astype(cdt)
+    if fast:
+        x1n = _normalize(x1).astype(cdt)  # affine folded into w1/bf1
+    else:
+        g2 = g2_ref[...].astype(jnp.float32)
+        b2 = b2_ref[...].astype(jnp.float32)
+        x1n = _layernorm(x1, g2, b2).astype(cdt)
     h1 = jnp.dot(x1n, w1_ref[...], preferred_element_type=jnp.float32)
     h1 = h1 + bf1_ref[...].astype(jnp.float32)
     if fast:
@@ -259,6 +286,26 @@ def fused_swin_block(x_windows, wqkv, bqkv, wproj, bproj,
     xg = x_windows.reshape(bnw // t, t * n, c)
     if bqkv is None:
         bqkv = jnp.zeros((3 * c,), wqkv.dtype)
+
+    if fast:
+        # trace-time algebra, loop-invariant under jit (XLA hoists it):
+        # fold LN1's affine and the qk scale into wqkv/bqkv and LN2's
+        # affine into w1/bf1 — (x̂·γ+β)W + b = x̂·(γ⊙W) + (βW + b), and
+        # (qW_q + b_q)·s = q(sW_q) + s·b_q. The kernel then runs
+        # normalize-only LNs and no q·scale pass (3 full-width VPU
+        # passes saved per block). Folded biases stay f32: β@W can be
+        # O(√C) larger than the raw bias and bf16 rounding there would
+        # cost output dB for free.
+        f32 = jnp.float32
+        qs = jnp.concatenate([jnp.full((c,), scale, f32),
+                              jnp.ones((2 * c,), f32)])
+        wqkv_f = g1.astype(f32)[:, None] * wqkv.astype(f32) * qs[None]
+        bqkv_f = (b1.astype(f32) @ wqkv.astype(f32)
+                  + bqkv.astype(f32)) * qs
+        w1_f = g2.astype(f32)[:, None] * w1.astype(f32)
+        bf1_f = b2.astype(f32) @ w1.astype(f32) + bf1.astype(f32)
+        wqkv, w1 = wqkv_f.astype(x_windows.dtype), w1_f.astype(x_windows.dtype)
+        bqkv, bf1 = bqkv_f, bf1_f
 
     if fast:  # (nW, N, nH·N): heads packed on the lane dim
         bias_in = bias.reshape(nh, nw, n, n).transpose(1, 2, 0, 3)

@@ -181,5 +181,7 @@ def build_discriminator(paras, dtype=jnp.float32):
             bn=bn, act=paras.get("d_act", "leaky_relu"), dtype=dtype)
     return CNNDiscriminator(
         in_chans=paras.input_channel,
+        base_features=paras.get("gan_d_base_features", 64),
+        depth=paras.get("gan_d_depth", 7),
         patch_size=int(paras.patch_size * paras.sr_scale),
         bn=bn, act=paras.get("d_act", "leaky_relu"), dtype=dtype)

@@ -107,7 +107,9 @@ class DenseSTLayer(nn.Module):
         if self.dim_modify_mode == "tail" and need_adapter:
             x = adapter(x, hidden_dim, self.growth_rate, "tail")
 
-        return jnp.concatenate([shortcut, x * self.dense_scale], axis=2)
+        if self.dense_scale != 1.0:  # skip the no-op pass (config ships 1.0)
+            x = x * self.dense_scale
+        return jnp.concatenate([shortcut, x], axis=2)
 
 
 class RDSTB(nn.Module):
@@ -164,7 +166,9 @@ class RDSTB(nn.Module):
         else:
             raise ValueError(f"unknown resi_connection {self.resi_connection}")
         y, _ = to_tokens(y)
-        return y * self.residual_scale + shortcut
+        if self.residual_scale != 1.0:
+            y = y * self.residual_scale
+        return y + shortcut
 
 
 class RDSTSR(nn.Module):
@@ -238,7 +242,9 @@ class RDSTSR(nn.Module):
             )(tokens, x_size, deterministic)
 
         tokens = LayerNorm(dtype=self.dtype, name="norm")(tokens)
-        res = to_image(tokens, x_size) * self.global_res_scale
+        res = to_image(tokens, x_size)
+        if self.global_res_scale != 1.0:
+            res = res * self.global_res_scale
         if self.feature_last_operation:
             if self.resi_connection == "1conv":
                 res = Conv(self.embed_dim, 3, dtype=self.dtype, name="conv_after_body")(res)

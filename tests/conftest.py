@@ -22,6 +22,15 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite's wall-clock is dominated by
+# XLA CPU compiles (adversarial-D grads, trainer steps, InceptionV3),
+# so warm re-runs drop from ~15-20 min to a few minutes. Safe here:
+# the axon-deadlock caveat (CLAUDE.md) applies only to the TPU tunnel,
+# and tests are pinned to the CPU platform above.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 import pathlib
 import sys
 

@@ -70,6 +70,44 @@ class TestFusedSwinBlock:
         got = blk.apply(params, x, (h, w))
         assert np.abs(np.asarray(got) - np.asarray(ref)).max() < 2e-5
 
+    def test_fast_path_folded_weights_parity(self, rng):
+        """bf16 fast path (packed attention + LN-affine/scale folds) vs
+        the f32 precise path, both in interpret mode. Gates the
+        trace-time weight folding algebra."""
+        import jax.numpy as jnp
+
+        from rdst_tpu.kernels.swin_block import fused_swin_block
+
+        nw, n, c, nh, hid = 4, 64, 24, 3, 48
+        t = nw * 2  # 2 images
+        def arr(*s, scale=1.0):
+            return jnp.asarray(rng.normal(0, scale, s), jnp.float32)
+
+        x = arr(t, n, c)
+        wqkv, bqkv = arr(c, 3 * c, scale=c ** -0.5), arr(3 * c, scale=0.1)
+        wproj, bproj = arr(c, c, scale=c ** -0.5), arr(c, scale=0.1)
+        g1, b1 = 1 + 0.1 * arr(c), 0.1 * arr(c)
+        g2, b2 = 1 + 0.1 * arr(c), 0.1 * arr(c)
+        w1, bf1 = arr(c, hid, scale=c ** -0.5), arr(hid, scale=0.1)
+        w2, bf2 = arr(hid, c, scale=hid ** -0.5), arr(c, scale=0.1)
+        bias = arr(nh * nw, n, n, scale=0.5)
+
+        args = (wqkv, bqkv, wproj, bproj, g1, b1, g2, b2, w1, bf1, w2, bf2)
+        ref = fused_swin_block(  # f32 => precise path, no folds
+            x, *args, bias=bias, num_heads=nh, windows_per_image=nw,
+            interpret=True)
+        got = fused_swin_block(  # bf16 => fast path with folded weights
+            x.astype(jnp.bfloat16),
+            *[a.astype(jnp.bfloat16) for a in args],
+            bias=bias.astype(jnp.bfloat16), num_heads=nh,
+            windows_per_image=nw, interpret=True)
+        ref = np.asarray(ref, np.float32)
+        got = np.asarray(got, np.float32)
+        # bf16-limited agreement; folding must not add systematic error
+        denom = np.abs(ref).max()
+        assert np.abs(got - ref).max() / denom < 0.05
+        assert np.abs(got - ref).mean() / denom < 0.005
+
     def test_erf_polynomial(self):
         import math
 

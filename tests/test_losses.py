@@ -132,7 +132,8 @@ class TestAdversarial:
 
         from rdst_tpu.losses.adversarial import ScaleAdversarial
 
-        p = _paras(gan_type=gan_type, gan_k=2, patch_size=8, sr_scale=4.0)
+        p = _paras(gan_type=gan_type, gan_k=2, patch_size=8, sr_scale=4.0,
+                   gan_d_base_features=8, gan_d_depth=3)
         adv = ScaleAdversarial(p)
         hr = jnp.asarray(rng.random((2, 32, 32, 1)), jnp.float32)
         fake = jnp.asarray(rng.random((2, 32, 32, 1)), jnp.float32)
@@ -181,6 +182,8 @@ class TestAdversarial:
         p.set("multi_threads", 1)
         p.set("gan_type", "GAN")
         p.set("gan_k", 1)
+        p.set("gan_d_base_features", 8)
+        p.set("gan_d_depth", 3)
         p.set("training_losses", ["L1", "GAN"])
         p.set("training_states", ["GAN-FT"])
         p.set("epochs_in_total", {"GAN-FT": 2})

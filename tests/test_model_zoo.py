@@ -15,6 +15,8 @@ def _paras(**overrides):
     p.set("edsr_n_resblocks", 2)
     p.set("rdn_n_blocks", 2)
     p.set("srdensenet_n_dense_blocks", 2)
+    p.set("srdensenet_n_dense_layers", 2)
+    p.set("srdensenet_n_feats", 32)
     p.set("esrgan_n_blocks", 2)
     p.set("zssr_num_layers", 4)
     for k, v in overrides.items():
