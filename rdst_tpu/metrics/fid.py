@@ -7,12 +7,16 @@ feature extractor is pluggable:
 
 * if an inception weights file is present (``RDST_TPU_INCEPTION_PT`` env
   var or ``rdst_tpu/metrics/pt_inception-2015-12-05-6726825d.pth``) it is
-  loaded through the torch-import bridge (TODO round 2);
-* otherwise FID falls back to a fixed random-projection + pooling
-  feature extractor. That keeps the metric *monotone and comparable
-  within a run* (identical distributions -> 0) while being explicit —
-  a one-time warning is emitted — that the values are not comparable to
-  published Inception-based FIDs.
+  loaded through the torch-import bridge (metrics/inception.py,
+  roundtrip-tested);
+* else the committed natively-trained VGG substitute
+  (``weights/vgg19_features_native.pkl``) provides learned pooled
+  features;
+* a fixed random-projection + pooling extractor is the last resort.
+  Both fallbacks keep the metric *monotone and comparable within a run*
+  (identical distributions -> 0) while being explicit — a one-time
+  warning is emitted — that the values are not comparable to published
+  Inception-based FIDs.
 
 Grayscale inputs are replicated to 3 channels per the reference
 (fid.py:169-195), and channel-mean FID is returned for C>3 stacks.
