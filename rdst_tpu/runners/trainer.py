@@ -85,6 +85,12 @@ class SRTrainer:
         # interpolated-LR residual image (meta_sr_trainer.py:111-112)
         self.residual_scale = float(paras.get("residual_scale", 0.0) or 0.0)
         self.batch_size = paras.batch_size
+        # Flush device-side loss scalars to host every N steps in ONE
+        # device_get instead of syncing every step: lets the host enqueue
+        # the next steps while the device computes (per-fetch RPC through
+        # the dev tunnel is the pacing cost). Bounded so at most N steps'
+        # input batches are in flight on the device queue.
+        self.scalar_flush_steps = int(paras.get("scalar_flush_steps", 64) or 64)
 
         self.quick_eva_func = ds_valid.get_quick_eva_func()
         self.final_eva_func = ds_valid.get_final_eva_func()
@@ -341,6 +347,7 @@ class SRTrainer:
             t.start()
 
             timer = Timer()
+            pending: list = []  # deferred (total, report) device scalars
             while True:
                 batch = q.get()
                 if batch is None:
@@ -376,26 +383,48 @@ class SRTrainer:
                 self.state.step += 1
                 self.current_epoch += 1
                 steps_this_run += 1
-                # host-side records: fetch scalars (cheap, but still a sync —
-                # accept it; scalars are tiny and this matches step pacing)
-                total_f = float(total)
-                if np.isfinite(total_f) and total_f < self.loss_threshold:
-                    self.loss.record({k: float(v) for k, v in report.items()}, ts)
-                    self.training_loss_records.setdefault(ts, []).append(total_f)
+                # host-side records: defer the scalar fetch — one batched
+                # device_get per flush window instead of a sync every step,
+                # so dispatch pipelines ahead of the device
+                pending.append((total, report))
+                at_check = self.current_epoch % self.check_every == 0
+                if len(pending) >= self.scalar_flush_steps or at_check:
+                    self._flush_scalar_records(pending, ts)
                 self.training_epoch_costs.append(timer.toc())
 
-                if self.current_epoch % self.check_every == 0:
+                if at_check:
                     plog = self.quick_eva()
                     self.save_checkpoint()
+                    recs = self.training_loss_records.get(ts) or [float("nan")]
                     self.write_log(
                         f"[{ts}] epoch {self.current_epoch}/{self.epochs_in_total[ts]} "
-                        f"loss={total_f:.6f} ({np.mean(self.training_epoch_costs[-self.check_every:]):.3f}s/epoch)\n"
+                        f"loss={recs[-1]:.6f} ({np.mean(self.training_epoch_costs[-self.check_every:]):.3f}s/epoch)\n"
                         + plog)
 
+            self._flush_scalar_records(pending, ts)
             self.save_models(ts)
             self.write_log(self.final_eva(ts))
             self.current_epoch = 0
         self.training_complete(steps_this_run)
+
+    def _flush_scalar_records(self, pending, ts):
+        """Drain the deferred per-step loss scalars in ONE device_get.
+
+        The in-graph divergence guard (lax.cond on loss_threshold) already
+        protects the params, so the host-side threshold filter here is
+        purely about keeping diverged steps out of the records/plots —
+        it can run arbitrarily late.
+        """
+        if not pending:
+            return
+        host = jax.device_get(pending)
+        pending.clear()
+        for total_f, report in host:
+            total_f = float(total_f)
+            if np.isfinite(total_f) and total_f < self.loss_threshold:
+                self.loss.record(
+                    {k: float(v) for k, v in report.items()}, ts)
+                self.training_loss_records.setdefault(ts, []).append(total_f)
 
     # -- evaluation -----------------------------------------------------------
 
