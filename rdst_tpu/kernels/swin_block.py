@@ -132,15 +132,17 @@ def _normalize(xf):
     return xf * a - mu * a
 
 
-def _block_kernel(nH, scale, T, N, C, nW, fast,
-                  x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
-                  g1_ref, b1_ref, g2_ref, b2_ref,
-                  w1_ref, bf1_ref, w2_ref, bf2_ref,
-                  bias_ref, hmask_ref, segones_ref, o_ref):
-    cdt = x_ref.dtype  # compute/storage dtype (bf16 on the bench path)
-    x = x_ref[0]  # (T*N, C)
-    xf = x.astype(jnp.float32)
+def _body(xf, cdt, nH, scale, T, N, C, nW, fast, bw,
+          wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+          g1_ref, b1_ref, g2_ref, b2_ref,
+          w1_ref, bf1_ref, w2_ref, bf2_ref,
+          bias_ref, hmask_ref, segones_ref):
+    """One Swin block body on an in-VMEM (T·N, C) f32 value; returns the
+    f32 output. Shared by the single-block and DSTL-pair kernels.
 
+    bw = bias windows: nW when the bias varies per window (shifted block
+    with mask), 1 when all windows share it (unshifted: rel-pos only —
+    nW× smaller VMEM footprint)."""
     if fast:
         # LN affine and the qk scale are pre-folded into wqkv/bqkv
         # (see fused_swin_block): normalize-only LN, no q·scale pass
@@ -171,8 +173,11 @@ def _block_kernel(nH, scale, T, N, C, nW, fast,
         s = jax.lax.dot_general(
             q, kst, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)  # (T, N, nH*N)
-        s = (s.reshape(T // nW, nW, N, nH * N)
-             + bias_ref[...].astype(jnp.float32)[None]).reshape(T, N, nH * N)
+        if bw == 1:
+            s = s + bias_ref[0].astype(jnp.float32)[None]
+        else:
+            s = (s.reshape(T // nW, nW, N, nH * N)
+                 + bias_ref[...].astype(jnp.float32)[None]).reshape(T, N, nH * N)
         e = jnp.exp(jnp.minimum(s, _CLAMP)).astype(cdt)
         den = jax.lax.dot_general(  # per-head softmax denominators
             e, segones_ref[...].astype(cdt), (((2,), (0,)), ((), ())),
@@ -194,8 +199,11 @@ def _block_kernel(nH, scale, T, N, C, nW, fast,
                 q * m_h, k, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)  # (T, N, N)
             # bias is per-image-periodic: broadcast over the T//nW images
-            b_h = bias_ref[h * nW:(h + 1) * nW].astype(jnp.float32)
-            s = (s.reshape(T // nW, nW, N, N) + b_h[None]).reshape(T, N, N)
+            if bw == 1:
+                s = s + bias_ref[h].astype(jnp.float32)[None]
+            else:
+                b_h = bias_ref[h * nW:(h + 1) * nW].astype(jnp.float32)
+                s = (s.reshape(T // nW, nW, N, N) + b_h[None]).reshape(T, N, N)
             p = jax.nn.softmax(s, axis=-1).astype(cdt)
             o_h = jax.lax.dot_general(
                 p, v, (((2,), (1,)), ((0,), (0,))),
@@ -224,7 +232,86 @@ def _block_kernel(nH, scale, T, N, C, nW, fast,
     h2 = jnp.dot(h1, w2_ref[...], preferred_element_type=jnp.float32)
     h2 = h2 + bf2_ref[...].astype(jnp.float32)
 
-    o_ref[0] = (x1 + h2).astype(o_ref.dtype)
+    return x1 + h2
+
+
+def _block_kernel(nH, scale, T, N, C, nW, fast, bw,
+                  x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+                  g1_ref, b1_ref, g2_ref, b2_ref,
+                  w1_ref, bf1_ref, w2_ref, bf2_ref,
+                  bias_ref, hmask_ref, segones_ref, o_ref):
+    cdt = x_ref.dtype  # compute/storage dtype (bf16 on the bench path)
+    xf = x_ref[0].astype(jnp.float32)  # (T*N, C)
+    out = _body(xf, cdt, nH, scale, T, N, C, nW, fast, bw,
+                wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+                g1_ref, b1_ref, g2_ref, b2_ref,
+                w1_ref, bf1_ref, w2_ref, bf2_ref,
+                bias_ref, hmask_ref, segones_ref)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _shift_relayout(y, ipp, nwh, nww, ws, s):
+    """window layout -> shifted window layout, entirely in VMEM.
+
+    y: (ipp·nWh·nWw·ws², C) in window_partition order. Equivalent to
+    window_reverse -> roll(-s, -s) -> window_partition, expressed as
+    batch-dim transposes + static sublane/batch concats so Mosaic never
+    touches the lane dim."""
+    c = y.shape[-1]
+    h, w = nwh * ws, nww * ws
+    y = y.reshape(ipp * nwh, nww, ws, ws, c)
+    y = y.transpose(0, 2, 1, 3, 4).reshape(ipp, h, w, c)  # window reverse
+    if s:
+        y = jnp.concatenate([y[:, s:], y[:, :s]], axis=1)  # roll -s (H)
+        y = jnp.concatenate([y[:, :, s:], y[:, :, :s]], axis=2)  # roll -s (W)
+    y = y.reshape(ipp * nwh, ws, nww, ws, c).transpose(0, 2, 1, 3, 4)
+    return y.reshape(ipp * nwh * nww * ws * ws, c)
+
+
+def _pair_kernel(nH, scale, T, N, C, nW, fast, geom,
+                 x_ref,
+                 awqkv, abqkv, awproj, abproj, ag1, ab1, ag2, ab2,
+                 aw1, abf1, aw2, abf2, abias,
+                 bwqkv, bbqkv, bwproj, bbproj, bg1, bb1, bg2, bb2,
+                 bw1, bbf1, bw2, bbf2, bbias,
+                 hmask_ref, segones_ref, o_ref):
+    """DSTL pair: unshifted block -> in-VMEM shift relayout -> shifted
+    block. Input in unshifted window layout; OUTPUT IN SHIFTED WINDOW
+    LAYOUT (the caller's window_reverse + roll(+s) restores the image,
+    one fused XLA copy — the same exit cost as a single block)."""
+    ipp, nwh, nww, ws, shift = geom
+    cdt = x_ref.dtype
+    xf = x_ref[0].astype(jnp.float32)
+    y = _body(xf, cdt, nH, scale, T, N, C, nW, fast, 1,
+              awqkv, abqkv, awproj, abproj, ag1, ab1, ag2, ab2,
+              aw1, abf1, aw2, abf2, abias, hmask_ref, segones_ref)
+    # relayout in the compute dtype: same rounding the per-block path
+    # pays storing the intermediate to HBM in bf16
+    y2 = _shift_relayout(y.astype(cdt), ipp, nwh, nww, ws, shift)
+    z = _body(y2.astype(jnp.float32), cdt, nH, scale, T, N, C, nW, fast,
+              nW if shift else 1,
+              bwqkv, bbqkv, bwproj, bbproj, bg1, bb1, bg2, bb2,
+              bw1, bbf1, bw2, bbf2, bbias, hmask_ref, segones_ref)
+    o_ref[0] = z.astype(o_ref.dtype)
+
+
+def _fold_fast_weights(wqkv, bqkv, g1, b1, g2, b2, w1, bf1, c, scale, dt):
+    """Trace-time algebra, loop-invariant under jit (XLA hoists it):
+    fold LN1's affine and the qk scale into wqkv/bqkv and LN2's affine
+    into w1/bf1 — (x̂·γ+β)W + b = x̂·(γ⊙W) + (βW + b), and
+    (qW_q + b_q)·s = q(sW_q) + s·b_q. The kernel then runs
+    normalize-only LNs and no q·scale pass (3 full-width VPU passes
+    saved per block). Folded biases stay f32: β@W can be O(√C) larger
+    than the raw bias and bf16 rounding there would cost output dB for
+    free."""
+    f32 = jnp.float32
+    qs = jnp.concatenate([jnp.full((c,), scale, f32),
+                          jnp.ones((2 * c,), f32)])
+    wqkv_f = g1.astype(f32)[:, None] * wqkv.astype(f32) * qs[None]
+    bqkv_f = (b1.astype(f32) @ wqkv.astype(f32) + bqkv.astype(f32)) * qs
+    w1_f = g2.astype(f32)[:, None] * w1.astype(f32)
+    bf1_f = b2.astype(f32) @ w1.astype(f32) + bf1.astype(f32)
+    return wqkv_f.astype(dt), bqkv_f, w1_f.astype(dt), bf1_f
 
 
 def use_fast_path(dtype) -> bool:
@@ -245,6 +332,29 @@ def fused_block_fits(nw: int, n: int, c: int, nh: int, hidden: int,
     return _vmem_estimate(nw, n, c, nh, hidden, nw, es, fast) <= _VMEM_BUDGET
 
 
+def _pair_vmem_estimate(t, n, c, nh, hidden, nw, es) -> float:
+    """Peak-VMEM model for _pair_kernel (fast path only): the single-
+    block fast peak plus the second weight set and the relayout
+    temporaries (the allocator reuses block-a activations for block b)."""
+    def pad(v):
+        return -(-v // 128) * 128
+
+    single = _vmem_estimate(t, n, c, nh, hidden, nw, es, fast=True)
+    weights = (3 * c * pad(c) + c * pad(c) + c * pad(hidden)
+               + hidden * pad(c)) * es
+    relayout = 3 * t * n * pad(c) * es
+    return single + 0.48 * weights + relayout
+
+
+def fused_pair_fits(nw: int, n: int, c: int, nh: int, hidden: int,
+                    es: int) -> bool:
+    """True when a whole image's DSTL pair fits the VMEM budget (bf16
+    fast path only; callers fall back to per-block kernels)."""
+    if es != 2:
+        return False
+    return _pair_vmem_estimate(nw, n, c, nh, hidden, nw, es) <= _VMEM_BUDGET
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("num_heads", "windows_per_image", "images_per_program",
@@ -258,8 +368,10 @@ def fused_swin_block(x_windows, wqkv, bqkv, wproj, bproj,
     x_windows: (B·nW, N, C) with nW = windows_per_image;
     wqkv (C, 3C), bqkv (3C,) or None, wproj (C, C), bproj (C,),
     g1/b1/g2/b2 (C,) LayerNorm affines, w1 (C, H), bf1 (H,),
-    w2 (H, C), bf2 (C,); bias (nH·nW, N, N) = rel-pos bias (+ shift
-    mask), head-major. Returns (B·nW, N, C).
+    w2 (H, C), bf2 (C,); bias (nH·bw, N, N) = rel-pos bias (+ shift
+    mask), head-major, with bw = nW (per-window bias: shifted block)
+    or bw = 1 (all windows share it: unshifted block — nW× less VMEM).
+    Returns (B·nW, N, C).
 
     images_per_program batches several images' windows per grid step
     (bigger matmuls, fewer grid-step overheads); the mask tiles
@@ -271,13 +383,14 @@ def fused_swin_block(x_windows, wqkv, bqkv, wproj, bproj,
     nw = windows_per_image
     es = jnp.dtype(x_windows.dtype).itemsize
     fast = use_fast_path(x_windows.dtype)
+    bw = bias.shape[0] // nh  # bias windows: nW (per-window) or 1 (shared)
+    assert bias.shape in ((nh * nw, n, n), (nh, n, n)), bias.shape
     ipp = images_per_program
     while ipp > 1 and (bnw % (nw * ipp) != 0
                        or _vmem_estimate(nw * ipp, n, c, nh, w1.shape[1],
-                                         nw, es, fast) > _VMEM_BUDGET):
+                                         bw, es, fast) > _VMEM_BUDGET):
         ipp -= 1
     t = nw * ipp
-    assert bias.shape == (nh * nw, n, n), bias.shape
     hd = c // nh
     scale = hd**-0.5
     grid = (bnw // t,)
@@ -288,34 +401,19 @@ def fused_swin_block(x_windows, wqkv, bqkv, wproj, bproj,
         bqkv = jnp.zeros((3 * c,), wqkv.dtype)
 
     if fast:
-        # trace-time algebra, loop-invariant under jit (XLA hoists it):
-        # fold LN1's affine and the qk scale into wqkv/bqkv and LN2's
-        # affine into w1/bf1 — (x̂·γ+β)W + b = x̂·(γ⊙W) + (βW + b), and
-        # (qW_q + b_q)·s = q(sW_q) + s·b_q. The kernel then runs
-        # normalize-only LNs and no q·scale pass (3 full-width VPU
-        # passes saved per block). Folded biases stay f32: β@W can be
-        # O(√C) larger than the raw bias and bf16 rounding there would
-        # cost output dB for free.
-        f32 = jnp.float32
-        qs = jnp.concatenate([jnp.full((c,), scale, f32),
-                              jnp.ones((2 * c,), f32)])
-        wqkv_f = g1.astype(f32)[:, None] * wqkv.astype(f32) * qs[None]
-        bqkv_f = (b1.astype(f32) @ wqkv.astype(f32)
-                  + bqkv.astype(f32)) * qs
-        w1_f = g2.astype(f32)[:, None] * w1.astype(f32)
-        bf1_f = b2.astype(f32) @ w1.astype(f32) + bf1.astype(f32)
-        wqkv, w1 = wqkv_f.astype(x_windows.dtype), w1_f.astype(x_windows.dtype)
-        bqkv, bf1 = bqkv_f, bf1_f
+        wqkv, bqkv, w1, bf1 = _fold_fast_weights(
+            wqkv, bqkv, g1, b1, g2, b2, w1, bf1, c, scale, x_windows.dtype)
 
-    if fast:  # (nW, N, nH·N): heads packed on the lane dim
-        bias_in = bias.reshape(nh, nw, n, n).transpose(1, 2, 0, 3)
-        bias_in = bias_in.reshape(nw, n, nh * n)
-        bias_spec = pl.BlockSpec((nw, n, nh * n), lambda i: (0, 0, 0))
-    else:  # (nH·nW, N, N): head-major stack
+    if fast:  # (bw, N, nH·N): heads packed on the lane dim
+        bias_in = bias.reshape(nh, bw, n, n).transpose(1, 2, 0, 3)
+        bias_in = bias_in.reshape(bw, n, nh * n)
+        bias_spec = pl.BlockSpec((bw, n, nh * n), lambda i: (0, 0, 0))
+    else:  # (nH·bw, N, N): head-major stack
         bias_in = bias
-        bias_spec = pl.BlockSpec((nh * nw, n, n), lambda i: (0, 0, 0))
+        bias_spec = pl.BlockSpec((nh * bw, n, n), lambda i: (0, 0, 0))
 
-    kernel = functools.partial(_block_kernel, nh, scale, t, n, c, nw, fast)
+    kernel = functools.partial(_block_kernel, nh, scale, t, n, c, nw, fast,
+                               bw)
     vm = {} if (pltpu is None or interpret) else {"memory_space": pltpu.VMEM}
     if vm:
         bias_spec = pl.BlockSpec(bias_spec.block_shape, bias_spec.index_map,
@@ -356,6 +454,110 @@ def fused_swin_block(x_windows, wqkv, bqkv, wproj, bproj,
         _head_mask(nh, c, x_windows.dtype),
         _seg_ones(nh, n, x_windows.dtype),
     )
+    return out.reshape(bnw, n, c)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "x_size", "window_size", "shift",
+                     "images_per_program", "interpret"))
+def fused_swin_pair(x_windows, params_a, bias_a, params_b, bias_b, *,
+                    num_heads: int, x_size, window_size: int, shift: int,
+                    images_per_program: int = 2, interpret: bool = False):
+    """One DSTL's Swin-block pair (shift 0, then `shift`) in a single
+    Pallas program: the inter-block window_reverse -> roll -> partition
+    happens in VMEM (_shift_relayout), so the intermediate feature map
+    never round-trips HBM and XLA's per-boundary relayout copy is gone.
+
+    x_windows: (B·nW, N, C) in UNSHIFTED window_partition order.
+    params_X = (wqkv, bqkv|None, wproj, bproj, g1, b1, g2, b2,
+                w1, bf1, w2, bf2) for each block.
+    bias_a: (nH, N, N) — block a is unshifted, all windows share it.
+    bias_b: (nH·nW, N, N) when shift > 0 (rel-pos + shift mask,
+            per-window), else (nH, N, N).
+    Returns (B·nW, N, C) in SHIFTED window layout — callers undo it
+    with window_reverse + roll(+shift), one fused XLA copy (the same
+    exit glue a single block pays).
+
+    bf16 fast path only (use_fast_path must hold).
+    """
+    bnw, n, c = x_windows.shape
+    nh = num_heads
+    h, w = x_size
+    ws = window_size
+    nwh, nww = h // ws, w // ws
+    nw = nwh * nww
+    es = jnp.dtype(x_windows.dtype).itemsize
+    assert use_fast_path(x_windows.dtype), "pair kernel is fast-path only"
+    hd = c // nh
+    scale = hd**-0.5
+    hidden = params_a[8].shape[1]
+
+    ipp = images_per_program
+    while ipp > 1 and (bnw % (nw * ipp) != 0
+                       or _pair_vmem_estimate(nw * ipp, n, c, nh, hidden,
+                                              nw, es) > _VMEM_BUDGET):
+        ipp -= 1
+    t = nw * ipp
+    grid = (bnw // t,)
+    dt = x_windows.dtype
+
+    def prep(params):
+        wqkv, bqkv, wproj, bproj, g1, b1, g2, b2, w1, bf1, w2, bf2 = params
+        if bqkv is None:
+            bqkv = jnp.zeros((3 * c,), wqkv.dtype)
+        wqkv, bqkv, w1, bf1 = _fold_fast_weights(
+            wqkv, bqkv, g1, b1, g2, b2, w1, bf1, c, scale, dt)
+        return (wqkv.astype(dt), bqkv.reshape(1, 3 * c),
+                wproj.astype(dt), bproj.astype(dt).reshape(1, c),
+                g1.reshape(1, c), b1.reshape(1, c),
+                g2.reshape(1, c), b2.reshape(1, c),
+                w1.astype(dt), bf1.reshape(1, hidden),
+                w2.astype(dt), bf2.astype(dt).reshape(1, c))
+
+    def pack_bias(bias):
+        bwin = bias.shape[0] // nh
+        out = bias.reshape(nh, bwin, n, n).transpose(1, 2, 0, 3)
+        return out.reshape(bwin, n, nh * n).astype(dt)
+
+    vm = {} if (pltpu is None or interpret) else {"memory_space": pltpu.VMEM}
+
+    def const(*shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda i, _nd=nd: (0,) * _nd, **vm)
+
+    def param_specs():
+        return [
+            const(c, 3 * c), const(1, 3 * c),   # wqkv bqkv
+            const(c, c), const(1, c),           # wproj bproj
+            const(1, c), const(1, c), const(1, c), const(1, c),  # LN affines
+            const(c, hidden), const(1, hidden),  # w1 bf1
+            const(hidden, c), const(1, c),       # w2 bf2
+        ]
+
+    bias_a_in = pack_bias(bias_a)
+    bias_b_in = pack_bias(bias_b)
+    geom = (ipp, nwh, nww, ws, shift)
+    kernel = functools.partial(_pair_kernel, nh, scale, t, n, c, nw, True,
+                               geom)
+
+    xg = x_windows.reshape(bnw // t, t * n, c)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=(
+            [pl.BlockSpec((1, t * n, c), lambda i: (i, 0, 0), **vm)]
+            + param_specs()
+            + [const(*bias_a_in.shape)]
+            + param_specs()
+            + [const(*bias_b_in.shape)]
+            + [const(nh, c), const(nh * n, nh)]  # hmask, segones
+        ),
+        out_specs=pl.BlockSpec((1, t * n, c), lambda i: (i, 0, 0), **vm),
+        out_shape=jax.ShapeDtypeStruct(xg.shape, dt),
+        interpret=interpret,
+    )(xg, *prep(params_a), bias_a_in, *prep(params_b), bias_b_in,
+      _head_mask(nh, c, dt), _seg_ones(nh, n, dt))
     return out.reshape(bnw, n, c)
 
 

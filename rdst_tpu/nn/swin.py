@@ -83,6 +83,17 @@ def shift_attention_mask(h: int, w: int, window_size: int, shift: int) -> Option
     return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
 
 
+def resolve_ws_shift(decide_res: Tuple[int, int], h: int, w: int,
+                     ws: int, shift: int) -> Tuple[int, int]:
+    """The reference's constructor-time clamp (swin_transformer_sr.py:
+    188-191): window larger than the (build) input -> no partitioning,
+    no shift; then never exceed the runtime extent."""
+    if min(decide_res) <= ws:
+        shift = 0
+        ws = min(decide_res)
+    return min(ws, h, w), shift
+
+
 class _LinearParams(nn.Module):
     """Declares kernel/bias at the same tree path as nn.Dense would."""
 
@@ -231,22 +242,23 @@ class SwinTransformerBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, x_size: Tuple[int, int], deterministic: bool = True):
+    def __call__(self, x, x_size: Tuple[int, int], deterministic: bool = True,
+                 params_only: bool = False):
         h, w = x_size
+        ws, shift = resolve_ws_shift(self.build_resolution or (h, w), h, w,
+                                     self.window_size, self.shift_size)
+        if params_only:
+            # kernel-input bundle for a caller-side fused kernel (the
+            # DSTL pair path in BasicLayer); declares the exact same
+            # parameter tree as computing would
+            return self._kernel_inputs((h, w), ws, shift)
         b, l, c = x.shape
-        ws, shift = self.window_size, self.shift_size
-        decide_res = self.build_resolution or (h, w)
-        if min(decide_res) <= ws:
-            # window larger than (build) input: no partitioning, no shift
-            shift = 0
-            ws = min(decide_res)
-        ws = min(ws, h, w)
 
         from rdst_tpu.kernels import window_attention as wa
         from rdst_tpu.kernels.swin_block import fused_block_fits
 
         use_fused = (
-            wa.pallas_mode() == "swin" and deterministic
+            wa.pallas_mode() in ("swin", "pair") and deterministic
             and self.qk_scale is None
             and c % self.num_heads == 0
             and h % ws == 0 and w % ws == 0
@@ -290,16 +302,16 @@ class SwinTransformerBlock(nn.Module):
             LayerNorm(dtype=self.dtype, name="norm2")(x), deterministic)
         return x + drop_path(y, deterministic)
 
-    def _fused_block(self, x, x_size, ws: int, shift: int, *,
-                     interpret: bool = False):
-        """Fused-kernel inference path: the whole block body runs in one
-        Pallas kernel on window-layout tokens (kernels/swin_block.py);
-        XLA keeps only roll/partition/reverse. Declares the exact same
-        parameter tree as the XLA path (checkpoint-compatible)."""
-        from rdst_tpu.kernels.swin_block import fused_swin_block
+    def _kernel_inputs(self, x_size, ws: int, shift: int):
+        """Declare this block's parameter tree (checkpoint-identical to
+        the XLA path) and return (params 12-tuple, combined bias).
 
+        bias: (nH·nW, N, N) rel-pos + shift mask when shifted, else the
+        per-window-shared (nH, N, N) rel-pos alone (nW× less VMEM in the
+        kernels). In compute dtype: the XLA path also adds it at
+        attn.dtype, and f32 costs 2x VMEM in the kernel."""
         h, w = x_size
-        b, l, c = x.shape
+        c = self.dim
         n = ws * ws
         dt = self.dtype
 
@@ -314,23 +326,38 @@ class SwinTransformerBlock(nn.Module):
         w1, bf1, w2, bf2 = _MlpParams(c, int(self.dim * self.mlp_ratio),
                                       name="mlp")()
 
-        # combined (nH·nW, N, N) bias: rel-pos (+ shift mask), head-major
         idx = relative_position_index(ws, ws).reshape(-1)
         rel_bias = table[idx].reshape(n, n, self.num_heads).transpose(2, 0, 1)
         mask = shift_attention_mask(h, w, ws, shift)
-        nw = (h // ws) * (w // ws)
         if mask is not None:
-            bias = rel_bias[:, None] + jnp.asarray(mask)[None]
+            nw = (h // ws) * (w // ws)
+            bias = (rel_bias[:, None] + jnp.asarray(mask)[None]
+                    ).reshape(self.num_heads * nw, n, n)
         else:
-            bias = jnp.broadcast_to(rel_bias[:, None], (self.num_heads, nw, n, n))
-        # bias in compute dtype: the XLA path also adds it at attn.dtype,
-        # and f32 here costs 2x VMEM in the kernel
-        bias = bias.reshape(self.num_heads * nw, n, n).astype(dt)
+            bias = rel_bias  # (nH, N, N): shared by every window
+        params = (wqkv, bqkv, wproj, bproj, gamma1, beta1, gamma2, beta2,
+                  w1, bf1, w2, bf2)
+        return params, bias.astype(dt)
+
+    def _fused_block(self, x, x_size, ws: int, shift: int, *,
+                     interpret: bool = False):
+        """Fused-kernel inference path: the whole block body runs in one
+        Pallas kernel on window-layout tokens (kernels/swin_block.py);
+        XLA keeps only roll/partition/reverse. Declares the exact same
+        parameter tree as the XLA path (checkpoint-compatible)."""
+        from rdst_tpu.kernels.swin_block import fused_swin_block
+
+        h, w = x_size
+        b, l, c = x.shape
+        dt = self.dtype
+        (wqkv, bqkv, wproj, bproj, gamma1, beta1, gamma2, beta2,
+         w1, bf1, w2, bf2), bias = self._kernel_inputs(x_size, ws, shift)
+        nw = (h // ws) * (w // ws)
 
         xi = x.reshape(b, h, w, c)
         if shift > 0:
             xi = jnp.roll(xi, (-shift, -shift), axis=(1, 2))
-        x_windows = window_partition(xi, ws).reshape(-1, n, c)
+        x_windows = window_partition(xi, ws).reshape(-1, ws * ws, c)
 
         import os
 
@@ -369,24 +396,84 @@ class BasicLayer(nn.Module):
     build_resolution: Optional[Tuple[int, int]] = None
     dtype: jnp.dtype = jnp.float32
 
+    def _block(self, i: int, dp: float = 0.0) -> "SwinTransformerBlock":
+        return SwinTransformerBlock(
+            dim=self.dim, num_heads=self.num_heads, window_size=self.window_size,
+            shift_size=0 if i % 2 == 0 else self.window_size // 2,
+            mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
+            drop=self.drop, attn_drop=self.attn_drop, drop_path=dp,
+            build_resolution=self.build_resolution,
+            dtype=self.dtype, name=f"blocks_{i}",
+        )
+
     @nn.compact
     def __call__(self, x, x_size, deterministic: bool = True):
+        h, w = x_size
+        c = x.shape[-1]
+        from rdst_tpu.kernels import window_attention as wa
+        from rdst_tpu.kernels.swin_block import fused_pair_fits, use_fast_path
+
+        ws, shift = resolve_ws_shift(self.build_resolution or (h, w), h, w,
+                                     self.window_size, self.window_size // 2)
+        use_pair = (
+            wa.pallas_mode() == "pair" and deterministic
+            and self.depth % 2 == 0 and not self.use_checkpoint
+            and self.qk_scale is None and use_fast_path(self.dtype)
+            and c % self.num_heads == 0
+            and h % ws == 0 and w % ws == 0
+            and fused_pair_fits(
+                (h // ws) * (w // ws), ws * ws, c, self.num_heads,
+                int(self.dim * self.mlp_ratio),
+                jnp.dtype(self.dtype).itemsize)
+            and (jax.default_backend() == "tpu" or wa.pallas_interpret())
+        )
+        if use_pair:
+            for i in range(0, self.depth, 2):
+                x = self._fused_pair(x, x_size, i, ws, shift,
+                                     interpret=wa.pallas_interpret())
+            return x
+
         for i in range(self.depth):
             dp = self.drop_path[i] if self.drop_path else 0.0
-            block = SwinTransformerBlock(
-                dim=self.dim, num_heads=self.num_heads, window_size=self.window_size,
-                shift_size=0 if i % 2 == 0 else self.window_size // 2,
-                mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
-                drop=self.drop, attn_drop=self.attn_drop, drop_path=dp,
-                build_resolution=self.build_resolution,
-                dtype=self.dtype, name=f"blocks_{i}",
-            )
+            block = self._block(i, dp)
             if self.use_checkpoint:
                 block = nn.remat(lambda m, *a: m(*a))(block, x, x_size, deterministic)  # type: ignore
                 x = block
             else:
                 x = block(x, x_size, deterministic)
         return x
+
+    def _fused_pair(self, x, x_size, i: int, ws: int, shift: int, *,
+                    interpret: bool = False):
+        """One DSTL pair (blocks i, i+1) through the fused pair kernel:
+        the inter-block reverse/roll/partition happens in VMEM
+        (kernels/swin_block.fused_swin_pair). Entry partition and exit
+        reverse(+roll) stay in XLA — the same glue ONE block pays, so
+        per pair one whole HBM round-trip + relayout copy is saved.
+        Declares both blocks' parameter trees (checkpoint-compatible)."""
+        from rdst_tpu.kernels.swin_block import fused_swin_pair
+
+        h, w = x_size
+        b, l, c = x.shape
+        params_a, bias_a = self._block(i)(None, x_size, params_only=True)
+        params_b, bias_b = self._block(i + 1)(None, x_size, params_only=True)
+
+        x_windows = window_partition(
+            x.reshape(b, h, w, c), ws).reshape(-1, ws * ws, c)
+
+        import os
+
+        ipp = int(os.environ.get("RDST_TPU_PALLAS_IPP", "2"))
+        y = fused_swin_pair(
+            x_windows.astype(self.dtype), params_a, bias_a, params_b, bias_b,
+            num_heads=self.num_heads, x_size=(h, w), window_size=ws,
+            shift=shift, images_per_program=ipp, interpret=interpret)
+
+        # y is in SHIFTED window layout: one fused XLA exit copy undoes it
+        y = window_reverse(y.reshape(-1, ws, ws, c), ws, h, w)
+        if shift > 0:
+            y = jnp.roll(y, (shift, shift), axis=(1, 2))
+        return y.reshape(b, l, c)
 
 
 class PatchMerging(nn.Module):

@@ -108,6 +108,33 @@ class TestFusedSwinBlock:
         assert np.abs(got - ref).max() / denom < 0.05
         assert np.abs(got - ref).mean() / denom < 0.005
 
+    def test_compact_bias_unshifted(self, rng, monkeypatch):
+        """Unshifted blocks may pass the (nH, N, N) shared bias instead of
+        broadcasting it per window; output must be identical."""
+        import jax.numpy as jnp
+
+        from rdst_tpu.kernels.swin_block import fused_swin_block
+
+        nw, n, c, nh, hid = 4, 64, 24, 3, 48
+        t = nw * 2
+        def arr(*s, scale=1.0):
+            return jnp.asarray(rng.normal(0, scale, s), jnp.float32)
+
+        x = arr(t, n, c)
+        args = (arr(c, 3 * c, scale=c ** -0.5), arr(3 * c, scale=0.1),
+                arr(c, c, scale=c ** -0.5), arr(c, scale=0.1),
+                1 + 0.1 * arr(c), 0.1 * arr(c), 1 + 0.1 * arr(c),
+                0.1 * arr(c), arr(c, hid, scale=c ** -0.5),
+                arr(hid, scale=0.1), arr(hid, c, scale=hid ** -0.5),
+                arr(c, scale=0.1))
+        bias1 = arr(nh, n, n, scale=0.5)
+        biasn = jnp.broadcast_to(bias1[:, None], (nh, nw, n, n)
+                                 ).reshape(nh * nw, n, n)
+        kw = dict(num_heads=nh, windows_per_image=nw, interpret=True)
+        want = fused_swin_block(x, *args, bias=biasn, **kw)
+        got = fused_swin_block(x, *args, bias=bias1, **kw)
+        assert np.array_equal(np.asarray(got), np.asarray(want))
+
     def test_erf_polynomial(self):
         import math
 
@@ -124,3 +151,105 @@ class TestFusedSwinBlock:
         # RDST-E1 bench shape fits; a 256x256 SwinIR whole-slice does not
         assert fused_block_fits(20, 64, 120, 6, 240, 2)
         assert not fused_block_fits(1024, 64, 180, 6, 360, 2)
+
+
+class TestFusedSwinPair:
+    """DSTL-pair kernel: both blocks + the in-VMEM shift relayout."""
+
+    def test_shift_relayout_matches_xla_glue(self, rng):
+        """_shift_relayout == window_reverse -> roll(-s,-s) ->
+        window_partition, the exact glue XLA runs between the blocks."""
+        import jax.numpy as jnp
+
+        from rdst_tpu.kernels.swin_block import _shift_relayout
+        from rdst_tpu.nn.swin import window_partition
+
+        ipp, nwh, nww, ws, s, c = 2, 3, 2, 8, 4, 12
+        h, w = nwh * ws, nww * ws
+        x = jnp.asarray(rng.normal(0, 1, (ipp, h, w, c)), jnp.float32)
+        wins = window_partition(x, ws).reshape(-1, c)
+        got = _shift_relayout(wins, ipp, nwh, nww, ws, s)
+        want = window_partition(
+            jnp.roll(x, (-s, -s), (1, 2)), ws).reshape(-1, c)
+        assert np.array_equal(np.asarray(got), np.asarray(want))
+
+    @pytest.mark.parametrize("ipp", [1, 2])
+    def test_pair_matches_sequential_fused_blocks(self, rng, monkeypatch,
+                                                  ipp):
+        """BasicLayer depth-2 in pair mode must be bitwise-equal to the
+        per-block fused path (same kernel math, same bf16 intermediate
+        rounding; only the relayout moves from XLA into VMEM) and
+        declare the identical parameter tree."""
+        import jax
+        import jax.numpy as jnp
+
+        from rdst_tpu.nn.swin import BasicLayer
+
+        b, h, w, c, nh, ws = 2, 16, 24, 12, 3, 8
+        x = jnp.asarray(rng.normal(0, 1, (b, h * w, c)), jnp.bfloat16)
+        layer = BasicLayer(dim=c, depth=2, num_heads=nh, window_size=ws,
+                           mlp_ratio=2.0, build_resolution=(h, w),
+                           dtype=jnp.bfloat16)
+        monkeypatch.setenv("RDST_TPU_PALLAS_INTERPRET", "1")
+        monkeypatch.setenv("RDST_TPU_PALLAS_IPP", str(ipp))
+
+        monkeypatch.setenv("RDST_TPU_PALLAS", "swin")
+        params = layer.init(jax.random.PRNGKey(0), x, (h, w))
+        ref = np.asarray(layer.apply(params, x, (h, w)), np.float32)
+
+        monkeypatch.setenv("RDST_TPU_PALLAS", "pair")
+        p2 = layer.init(jax.random.PRNGKey(0), x, (h, w))
+        assert (jax.tree_util.tree_structure(params)
+                == jax.tree_util.tree_structure(p2))
+        got = np.asarray(layer.apply(params, x, (h, w)), np.float32)
+        assert np.array_equal(got, ref)
+
+    def test_full_rdst_pair_mode(self, rng, monkeypatch):
+        """Full RDSTSR forward in pair mode (interpret) is bitwise-equal
+        to the per-block fused mode — gates the DSTL/BasicLayer
+        dispatch, dense adapters and pad/crop plumbing around it."""
+        import jax
+        import jax.numpy as jnp
+
+        from rdst_tpu.models.rdst import RDSTSR
+
+        model = RDSTSR(in_chans=1, sr_scale=2, embed_dim=12,
+                       dense_layer_depths=(2,), num_heads=(3,),
+                       window_size=(8,), rdb_depths=(2,), mlp_ratio=2.0,
+                       growth_rate=6, build_resolution=(16, 16),
+                       dtype=jnp.bfloat16)
+        x = jnp.asarray(rng.normal(0, 0.3, (1, 16, 16, 1)), jnp.bfloat16)
+        monkeypatch.setenv("RDST_TPU_PALLAS_INTERPRET", "1")
+        monkeypatch.setenv("RDST_TPU_PALLAS", "swin")
+        params = model.init(jax.random.PRNGKey(0), x)
+        ref = np.asarray(model.apply(params, x), np.float32)
+        monkeypatch.setenv("RDST_TPU_PALLAS", "pair")
+        got = np.asarray(model.apply(params, x), np.float32)
+        assert np.array_equal(got, ref)
+
+    def test_pair_matches_xla_f32_reference(self, rng, monkeypatch):
+        """bf16 pair kernel vs the f32 XLA path: bf16-limited agreement,
+        no systematic error from the fused relayout."""
+        import jax
+        import jax.numpy as jnp
+
+        from rdst_tpu.nn.swin import BasicLayer
+
+        b, h, w, c, nh, ws = 2, 16, 16, 12, 3, 8
+        xf = jnp.asarray(rng.normal(0, 1, (b, h * w, c)), jnp.float32)
+        kw = dict(dim=c, depth=2, num_heads=nh, window_size=ws,
+                  mlp_ratio=2.0, build_resolution=(h, w))
+        monkeypatch.setenv("RDST_TPU_PALLAS", "0")
+        ref_layer = BasicLayer(**kw)
+        params = ref_layer.init(jax.random.PRNGKey(0), xf, (h, w))
+        ref = np.asarray(ref_layer.apply(params, xf, (h, w)))
+
+        monkeypatch.setenv("RDST_TPU_PALLAS", "pair")
+        monkeypatch.setenv("RDST_TPU_PALLAS_INTERPRET", "1")
+        pair_layer = BasicLayer(dtype=jnp.bfloat16, **kw)
+        got = np.asarray(
+            pair_layer.apply(params, xf.astype(jnp.bfloat16), (h, w)),
+            np.float32)
+        denom = np.abs(ref).max()
+        assert np.abs(got - ref).max() / denom < 0.05
+        assert np.abs(got - ref).mean() / denom < 0.005
