@@ -75,6 +75,28 @@ class TestMesh:
         got = np.asarray(jax.jit(model.apply)(tp_params, x))
         assert np.abs(got - want).max() < 1e-5
 
+    def test_sp_forward_matches_single_device(self, rng):
+        """Sequence/spatial parallelism: H-sharded activations (halo
+        exchanges at window shifts/convs via GSPMD) must compute the
+        same function as one device."""
+        import jax
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        from rdst_tpu.models.rdst import RDSTSR
+
+        model = RDSTSR(embed_dim=16, dense_layer_depths=(2,), num_heads=(2,),
+                       window_size=(4,), rdb_depths=(1,), growth_rate=16,
+                       sr_scale=2, mlp_ratio=2.0)
+        x = rng.random((2, 16, 8, 1)).astype(np.float32)
+        params = model.init(jax.random.PRNGKey(0), x)
+        want = np.asarray(model.apply(params, x))
+
+        mesh = Mesh(np.asarray(jax.devices()).reshape(2, 4), ("data", "seq"))
+        xp = jax.device_put(x, NamedSharding(mesh, P("data", "seq")))
+        got = np.asarray(jax.jit(model.apply)(
+            jax.device_put(params, NamedSharding(mesh, P())), xp))
+        assert np.abs(got - want).max() < 1e-5
+
     def test_graft_dryrun(self):
         import __graft_entry__ as g
 
