@@ -132,7 +132,7 @@ def _normalize(xf):
     return xf * a - mu * a
 
 
-def _body(xf, cdt, nH, scale, T, N, C, nW, fast, bw,
+def _body(xf, cdt, nH, scale, T, N, C, fast, bw,
           wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
           g1_ref, b1_ref, g2_ref, b2_ref,
           w1_ref, bf1_ref, w2_ref, bf2_ref,
@@ -140,9 +140,11 @@ def _body(xf, cdt, nH, scale, T, N, C, nW, fast, bw,
     """One Swin block body on an in-VMEM (T·N, C) f32 value; returns the
     f32 output. Shared by the single-block and DSTL-pair kernels.
 
-    bw = bias windows: nW when the bias varies per window (shifted block
-    with mask), 1 when all windows share it (unshifted: rel-pos only —
-    nW× smaller VMEM footprint)."""
+    bw = windows covered by the bias block, tiling period over T: the
+    whole image's nW when the bias varies per window (shifted block with
+    mask — T spans ipp whole images), the chunk size t when the grid is
+    window-chunked (T = bw = t, one bias slice per chunk), or 1 when all
+    windows share it (unshifted: rel-pos only — nW× smaller VMEM)."""
     if fast:
         # LN affine and the qk scale are pre-folded into wqkv/bqkv
         # (see fused_swin_block): normalize-only LN, no q·scale pass
@@ -176,7 +178,7 @@ def _body(xf, cdt, nH, scale, T, N, C, nW, fast, bw,
         if bw == 1:
             s = s + bias_ref[0].astype(jnp.float32)[None]
         else:
-            s = (s.reshape(T // nW, nW, N, nH * N)
+            s = (s.reshape(T // bw, bw, N, nH * N)
                  + bias_ref[...].astype(jnp.float32)[None]).reshape(T, N, nH * N)
         e = jnp.exp(jnp.minimum(s, _CLAMP)).astype(cdt)
         den = jax.lax.dot_general(  # per-head softmax denominators
@@ -198,12 +200,12 @@ def _body(xf, cdt, nH, scale, T, N, C, nW, fast, bw,
             s = jax.lax.dot_general(
                 q * m_h, k, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)  # (T, N, N)
-            # bias is per-image-periodic: broadcast over the T//nW images
+            # bias is bw-periodic over T (whole images or one chunk)
             if bw == 1:
                 s = s + bias_ref[h].astype(jnp.float32)[None]
             else:
-                b_h = bias_ref[h * nW:(h + 1) * nW].astype(jnp.float32)
-                s = (s.reshape(T // nW, nW, N, N) + b_h[None]).reshape(T, N, N)
+                b_h = bias_ref[h * bw:(h + 1) * bw].astype(jnp.float32)
+                s = (s.reshape(T // bw, bw, N, N) + b_h[None]).reshape(T, N, N)
             p = jax.nn.softmax(s, axis=-1).astype(cdt)
             o_h = jax.lax.dot_general(
                 p, v, (((2,), (1,)), ((0,), (0,))),
@@ -235,14 +237,14 @@ def _body(xf, cdt, nH, scale, T, N, C, nW, fast, bw,
     return x1 + h2
 
 
-def _block_kernel(nH, scale, T, N, C, nW, fast, bw,
+def _block_kernel(nH, scale, T, N, C, fast, bw,
                   x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
                   g1_ref, b1_ref, g2_ref, b2_ref,
                   w1_ref, bf1_ref, w2_ref, bf2_ref,
                   bias_ref, hmask_ref, segones_ref, o_ref):
     cdt = x_ref.dtype  # compute/storage dtype (bf16 on the bench path)
     xf = x_ref[0].astype(jnp.float32)  # (T*N, C)
-    out = _body(xf, cdt, nH, scale, T, N, C, nW, fast, bw,
+    out = _body(xf, cdt, nH, scale, T, N, C, fast, bw,
                 wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
                 g1_ref, b1_ref, g2_ref, b2_ref,
                 w1_ref, bf1_ref, w2_ref, bf2_ref,
@@ -282,13 +284,13 @@ def _pair_kernel(nH, scale, T, N, C, nW, fast, geom,
     ipp, nwh, nww, ws, shift = geom
     cdt = x_ref.dtype
     xf = x_ref[0].astype(jnp.float32)
-    y = _body(xf, cdt, nH, scale, T, N, C, nW, fast, 1,
+    y = _body(xf, cdt, nH, scale, T, N, C, fast, 1,
               awqkv, abqkv, awproj, abproj, ag1, ab1, ag2, ab2,
               aw1, abf1, aw2, abf2, abias, hmask_ref, segones_ref)
     # relayout in the compute dtype: same rounding the per-block path
     # pays storing the intermediate to HBM in bf16
     y2 = _shift_relayout(y.astype(cdt), ipp, nwh, nww, ws, shift)
-    z = _body(y2.astype(jnp.float32), cdt, nH, scale, T, N, C, nW, fast,
+    z = _body(y2.astype(jnp.float32), cdt, nH, scale, T, N, C, fast,
               nW if shift else 1,
               bwqkv, bbqkv, bwproj, bbproj, bg1, bb1, bg2, bb2,
               bw1, bbf1, bw2, bbf2, bbias, hmask_ref, segones_ref)
@@ -324,12 +326,24 @@ def use_fast_path(dtype) -> bool:
     return jnp.dtype(dtype) == jnp.bfloat16
 
 
+def _divisors_desc(nw: int):
+    return [d for d in range(nw, 0, -1) if nw % d == 0]
+
+
 def fused_block_fits(nw: int, n: int, c: int, nh: int, hidden: int,
                      es: int) -> bool:
-    """True when one image's windows fit the kernel's VMEM budget
-    (callers fall back to the XLA path for oversized images)."""
+    """True when the kernel can run this image geometry: either a whole
+    image's windows fit the VMEM budget, or (fast path) some window
+    chunk t | nW does — the grid then steps over chunks and each carries
+    its own bias slice. Callers fall back to XLA otherwise."""
     fast = es == 2
-    return _vmem_estimate(nw, n, c, nh, hidden, nw, es, fast) <= _VMEM_BUDGET
+    if _vmem_estimate(nw, n, c, nh, hidden, nw, es, fast) <= _VMEM_BUDGET:
+        return True
+    if not fast:
+        return False
+    return any(
+        _vmem_estimate(d, n, c, nh, hidden, d, es, True) <= _VMEM_BUDGET
+        for d in _divisors_desc(nw))
 
 
 def _pair_vmem_estimate(t, n, c, nh, hidden, nw, es) -> float:
@@ -385,16 +399,32 @@ def fused_swin_block(x_windows, wqkv, bqkv, wproj, bproj,
     fast = use_fast_path(x_windows.dtype)
     bw = bias.shape[0] // nh  # bias windows: nW (per-window) or 1 (shared)
     assert bias.shape in ((nh * nw, n, n), (nh, n, n)), bias.shape
-    ipp = images_per_program
-    while ipp > 1 and (bnw % (nw * ipp) != 0
-                       or _vmem_estimate(nw * ipp, n, c, nh, w1.shape[1],
-                                         bw, es, fast) > _VMEM_BUDGET):
-        ipp -= 1
-    t = nw * ipp
+    hidden = w1.shape[1]
+
+    def fits(t_, bw_):
+        return _vmem_estimate(t_, n, c, nh, hidden, bw_, es,
+                              fast) <= _VMEM_BUDGET
+
+    if fits(nw, bw):
+        # whole image(s) per program; batch up to ipp of them
+        ipp = images_per_program
+        while ipp > 1 and (bnw % (nw * ipp) != 0 or not fits(nw * ipp, bw)):
+            ipp -= 1
+        t = nw * ipp
+        tile = bw  # bias tiling period over T: nW (per-window) or 1
+        nblk = 1  # every grid step reads the same whole-image bias
+    else:
+        # window-chunked grid (large images): t | nW so chunks never
+        # straddle an image; each chunk reads its own bias slice through
+        # the modular BlockSpec index map. Fast path only (the precise
+        # head-major bias stack is not chunk-contiguous).
+        assert fast, "chunked fused_swin_block requires the bf16 fast path"
+        t = next(d for d in _divisors_desc(nw) if fits(d, min(bw, d)))
+        tile = min(bw, t)  # t when per-window bias, 1 when shared
+        nblk = nw // t if tile > 1 else 1
     hd = c // nh
     scale = hd**-0.5
     grid = (bnw // t,)
-    hidden = w1.shape[1]
 
     xg = x_windows.reshape(bnw // t, t * n, c)
     if bqkv is None:
@@ -407,13 +437,14 @@ def fused_swin_block(x_windows, wqkv, bqkv, wproj, bproj,
     if fast:  # (bw, N, nH·N): heads packed on the lane dim
         bias_in = bias.reshape(nh, bw, n, n).transpose(1, 2, 0, 3)
         bias_in = bias_in.reshape(bw, n, nh * n)
-        bias_spec = pl.BlockSpec((bw, n, nh * n), lambda i: (0, 0, 0))
-    else:  # (nH·bw, N, N): head-major stack
+        bias_spec = pl.BlockSpec((tile, n, nh * n),
+                                 lambda i: (i % nblk, 0, 0))
+    else:  # (nH·bw, N, N): head-major stack (whole images only)
         bias_in = bias
         bias_spec = pl.BlockSpec((nh * bw, n, n), lambda i: (0, 0, 0))
 
-    kernel = functools.partial(_block_kernel, nh, scale, t, n, c, nw, fast,
-                               bw)
+    kernel = functools.partial(_block_kernel, nh, scale, t, n, c, fast,
+                               tile)
     vm = {} if (pltpu is None or interpret) else {"memory_space": pltpu.VMEM}
     if vm:
         bias_spec = pl.BlockSpec(bias_spec.block_shape, bias_spec.index_map,

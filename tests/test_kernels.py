@@ -148,9 +148,42 @@ class TestFusedSwinBlock:
     def test_vmem_fit_gate(self):
         from rdst_tpu.kernels.swin_block import fused_block_fits
 
-        # RDST-E1 bench shape fits; a 256x256 SwinIR whole-slice does not
+        # RDST-E1 bench shape fits whole-image
         assert fused_block_fits(20, 64, 120, 6, 240, 2)
-        assert not fused_block_fits(1024, 64, 180, 6, 360, 2)
+        # a 256x256 SwinIR whole-slice overflows whole-image VMEM but the
+        # bf16 fast path runs it window-chunked; f32 cannot chunk
+        assert fused_block_fits(1024, 64, 180, 6, 360, 2)
+        assert not fused_block_fits(1024, 64, 180, 6, 360, 4)
+
+    @pytest.mark.parametrize("shift", [0, 4])
+    def test_chunked_grid_parity(self, rng, shift, monkeypatch):
+        """A 'large image' forced through the window-chunked grid (tiny
+        VMEM budget) matches the whole-image fast path exactly —
+        including the per-chunk shift-mask bias slices."""
+        import jax
+        import jax.numpy as jnp
+
+        from rdst_tpu.kernels import swin_block as sb
+        from rdst_tpu.nn.swin import SwinTransformerBlock
+
+        b, h, w, c, nh, ws = 1, 32, 32, 12, 3, 8  # nW = 16 windows
+        x = jnp.asarray(rng.normal(0, 1, (b, h * w, c)), jnp.bfloat16)
+        blk = SwinTransformerBlock(dim=c, num_heads=nh, window_size=ws,
+                                   shift_size=shift, mlp_ratio=2.0,
+                                   build_resolution=(h, w),
+                                   dtype=jnp.bfloat16)
+        monkeypatch.setenv("RDST_TPU_PALLAS", "swin")
+        monkeypatch.setenv("RDST_TPU_PALLAS_INTERPRET", "1")
+        params = blk.init(jax.random.PRNGKey(0), x, (h, w))
+        want = np.asarray(blk.apply(params, x, (h, w)), np.float32)
+
+        # shrink the budget so only <= 4-window chunks "fit"
+        full = sb._vmem_estimate(16, ws * ws, c, nh, 2 * c, 16, 2, True)
+        quarter = sb._vmem_estimate(4, ws * ws, c, nh, 2 * c, 4, 2, True)
+        assert quarter < full
+        monkeypatch.setattr(sb, "_VMEM_BUDGET", (quarter + full) / 2)
+        got = np.asarray(blk.apply(params, x, (h, w)), np.float32)
+        assert np.array_equal(got, want)
 
 
 class TestFusedSwinPair:
