@@ -92,6 +92,36 @@ def test_bicubic_tester(e2e_env):
     assert np.mean(stacked["psnr_4.0"]) > 15  # bicubic baseline sanity
 
 
+def test_bf16_inference_dtype(e2e_env, monkeypatch):
+    """inference_dtype = 'bfloat16' runs the tester through the fused
+    kernel fast path (pair mode, interpret on CPU) and reports sane
+    f32 metrics."""
+    root, p = e2e_env
+    from rdst_tpu.runners.tester import SRTester
+
+    out = root / "outputs" / "RDST_TINY_OASIS_SRx4_None"
+    snap = out / "models" / "WarmUP_model_g.msgpack"
+    if not snap.exists():
+        pytest.skip("depends on test_train_resume_test artifacts")
+    def run(name, dtype):
+        q = ParametersLoader.from_dict(p.to_dict())
+        q.set("model_name", name)
+        q.set("inference_dtype", dtype)
+        q.set("well_trained_single_scale_model_g", str(snap))
+        tester = SRTester(q)
+        tester.setup()
+        return tester.test()
+
+    ref = run("RDST_TINY_F32CHK", "float32")
+    monkeypatch.setenv("RDST_TPU_PALLAS", "pair")
+    monkeypatch.setenv("RDST_TPU_PALLAS_INTERPRET", "1")
+    got = run("RDST_TINY_BF16", "bfloat16")
+    assert np.isfinite(got["psnr_4.0"]).all()
+    # bf16 fast path must not move reported quality (4-epoch toy model,
+    # so compare against its own f32 score, not an absolute bar)
+    assert abs(np.mean(got["psnr_4.0"]) - np.mean(ref["psnr_4.0"])) < 0.3
+
+
 def test_multi_scale_mdsr_training(e2e_env):
     """all_sr_scales=[2,3,4] with MDSR: per-scale compiled steps + eval."""
     root, base = e2e_env
