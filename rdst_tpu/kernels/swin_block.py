@@ -114,7 +114,7 @@ def _layernorm(xf, gamma, beta):
     return xn * gamma + beta
 
 
-def _normalize(xf):
+def _normalize(xf, nseg: int = 1):
     """Affine-free LayerNorm (fast path): the gamma/beta affine is folded
     into the downstream weight matrix at trace time (LN feeds only a
     Linear here, and (x̂·γ+β)W = x̂·(γ⊙W) + βW), saving one full-width
@@ -124,19 +124,38 @@ def _normalize(xf):
     single FMA output pass, instead of reduce/subtract/reduce/scale.
     Cancellation is a non-issue here: post-residual activations are
     O(1)-centered and the accumulation is f32 (the precise path keeps
-    the two-pass centered form)."""
-    mu = jnp.mean(xf, axis=-1, keepdims=True)
-    ex2 = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    the two-pass centered form).
+
+    nseg > 1 = segment-LN for the window-packed layout: the lane dim
+    holds nseg windows' channels side by side and each window normalizes
+    over its own C = lanes/nseg segment. Moments come from one thin
+    (2C, nseg) one-hot matmul; the broadcast back rides the same matrix
+    transposed."""
+    if nseg == 1:
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        ex2 = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        var = jnp.maximum(ex2 - mu * mu, 0.0)
+        a = jax.lax.rsqrt(var + _EPS)
+        return xf * a - mu * a
+    ctot = xf.shape[-1]
+    cs = ctot // nseg
+    ch = jax.lax.broadcasted_iota(jnp.int32, (ctot, nseg), 0)
+    sg = jax.lax.broadcasted_iota(jnp.int32, (ctot, nseg), 1)
+    seg = (ch // cs == sg).astype(jnp.float32)  # (ctot, nseg) one-hot
+    mu = jnp.dot(xf, seg, preferred_element_type=jnp.float32) / cs
+    ex2 = jnp.dot(xf * xf, seg, preferred_element_type=jnp.float32) / cs
     var = jnp.maximum(ex2 - mu * mu, 0.0)
-    a = jax.lax.rsqrt(var + _EPS)
-    return xf * a - mu * a
+    a = jax.lax.rsqrt(var + _EPS)  # (M, nseg)
+    ab = jnp.dot(a, seg.T, preferred_element_type=jnp.float32)
+    mab = jnp.dot(mu * a, seg.T, preferred_element_type=jnp.float32)
+    return xf * ab - mab
 
 
 def _body(xf, cdt, nH, scale, T, N, C, fast, bw,
           wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
           g1_ref, b1_ref, g2_ref, b2_ref,
           w1_ref, bf1_ref, w2_ref, bf2_ref,
-          bias_ref, hmask_ref, segones_ref):
+          bias_ref, hmask_ref, segones_ref, nseg=1):
     """One Swin block body on an in-VMEM (T·N, C) f32 value; returns the
     f32 output. Shared by the single-block and DSTL-pair kernels.
 
@@ -148,7 +167,7 @@ def _body(xf, cdt, nH, scale, T, N, C, fast, bw,
     if fast:
         # LN affine and the qk scale are pre-folded into wqkv/bqkv
         # (see fused_swin_block): normalize-only LN, no q·scale pass
-        xn = _normalize(xf).astype(cdt)
+        xn = _normalize(xf, nseg).astype(cdt)
     else:
         g1 = g1_ref[...].astype(jnp.float32)
         b1 = b1_ref[...].astype(jnp.float32)
@@ -219,7 +238,7 @@ def _body(xf, cdt, nH, scale, T, N, C, fast, bw,
     x1 = xf + y  # residual 1 (f32)
 
     if fast:
-        x1n = _normalize(x1).astype(cdt)  # affine folded into w1/bf1
+        x1n = _normalize(x1, nseg).astype(cdt)  # affine folded into w1/bf1
     else:
         g2 = g2_ref[...].astype(jnp.float32)
         b2 = b2_ref[...].astype(jnp.float32)
@@ -237,7 +256,7 @@ def _body(xf, cdt, nH, scale, T, N, C, fast, bw,
     return x1 + h2
 
 
-def _block_kernel(nH, scale, T, N, C, fast, bw,
+def _block_kernel(nH, scale, T, N, C, fast, bw, nseg,
                   x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
                   g1_ref, b1_ref, g2_ref, b2_ref,
                   w1_ref, bf1_ref, w2_ref, bf2_ref,
@@ -248,7 +267,7 @@ def _block_kernel(nH, scale, T, N, C, fast, bw,
                 wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
                 g1_ref, b1_ref, g2_ref, b2_ref,
                 w1_ref, bf1_ref, w2_ref, bf2_ref,
-                bias_ref, hmask_ref, segones_ref)
+                bias_ref, hmask_ref, segones_ref, nseg)
     o_ref[0] = out.astype(o_ref.dtype)
 
 
@@ -372,11 +391,12 @@ def fused_pair_fits(nw: int, n: int, c: int, nh: int, hidden: int,
 @functools.partial(
     jax.jit,
     static_argnames=("num_heads", "windows_per_image", "images_per_program",
-                     "interpret"))
+                     "pack", "interpret"))
 def fused_swin_block(x_windows, wqkv, bqkv, wproj, bproj,
                      g1, b1, g2, b2, w1, bf1, w2, bf2,
                      bias, *, num_heads: int, windows_per_image: int,
-                     images_per_program: int = 1, interpret: bool = False):
+                     images_per_program: int = 1, pack: int = 1,
+                     interpret: bool = False):
     """Whole Swin block on window-layout tokens.
 
     x_windows: (B·nW, N, C) with nW = windows_per_image;
@@ -397,6 +417,48 @@ def fused_swin_block(x_windows, wqkv, bqkv, wproj, bproj,
     nw = windows_per_image
     es = jnp.dtype(x_windows.dtype).itemsize
     fast = use_fast_path(x_windows.dtype)
+
+    # Window packing (pack=2, fast path): two windows share each lane
+    # row, so C<=64 blocks run their VPU passes and K=C matmuls at ~2x
+    # lane/MXU fill. The packed pair becomes 2nH "virtual heads" over 2C
+    # channels with block-diagonal weights — the head-packing machinery
+    # handles everything downstream except LayerNorm, which switches to
+    # the nseg=2 segment form. Zero extra glue: XLA fuses the pack/unpack
+    # permutations into the partition/reverse copies around the kernel.
+    if pack != 1 and not (fast and pack == 2 and nw % 2 == 0
+                          and bnw % 2 == 0):
+        pack = 1
+    if pack == 2:
+        x_windows = (x_windows.reshape(bnw // 2, 2, n, c)
+                     .transpose(0, 2, 1, 3).reshape(bnw // 2, n, 2 * c))
+
+        def bd(m):  # (a, b) -> (2a, 2b) same-matrix block diagonal
+            z = jnp.zeros(m.shape, m.dtype)
+            return jnp.concatenate([
+                jnp.concatenate([m, z], axis=1),
+                jnp.concatenate([z, m], axis=1)], axis=0)
+
+        def dup(v):  # (d,) -> (2d,) per-slot duplicate
+            return jnp.concatenate([v, v])
+
+        if bqkv is None:
+            bqkv = jnp.zeros((3 * c,), wqkv.dtype)
+        wqkv = jnp.concatenate(
+            [bd(wqkv[:, i * c:(i + 1) * c]) for i in range(3)], axis=1)
+        bqkv = jnp.concatenate(
+            [dup(bqkv[i * c:(i + 1) * c]) for i in range(3)])
+        wproj, bproj = bd(wproj), dup(bproj)
+        w1, bf1 = bd(w1), dup(bf1)
+        w2, bf2 = bd(w2), dup(bf2)
+        g1, b1, g2, b2 = dup(g1), dup(b1), dup(g2), dup(b2)
+        if bias.shape[0] == nh:  # shared bias: same rel-pos per slot
+            bias = jnp.concatenate([bias, bias], axis=0)
+        else:  # per-window: slot-major virtual heads, window pairs
+            bias = (bias.reshape(nh, nw // 2, 2, n, n)
+                    .transpose(2, 0, 1, 3, 4)
+                    .reshape(2 * nh * (nw // 2), n, n))
+        bnw, nw, c, nh = bnw // 2, nw // 2, 2 * c, 2 * nh
+
     bw = bias.shape[0] // nh  # bias windows: nW (per-window) or 1 (shared)
     assert bias.shape in ((nh * nw, n, n), (nh, n, n)), bias.shape
     hidden = w1.shape[1]
@@ -444,7 +506,7 @@ def fused_swin_block(x_windows, wqkv, bqkv, wproj, bproj,
         bias_spec = pl.BlockSpec((nh * bw, n, n), lambda i: (0, 0, 0))
 
     kernel = functools.partial(_block_kernel, nh, scale, t, n, c, fast,
-                               tile)
+                               tile, pack)
     vm = {} if (pltpu is None or interpret) else {"memory_space": pltpu.VMEM}
     if vm:
         bias_spec = pl.BlockSpec(bias_spec.block_shape, bias_spec.index_map,
@@ -485,7 +547,12 @@ def fused_swin_block(x_windows, wqkv, bqkv, wproj, bproj,
         _head_mask(nh, c, x_windows.dtype),
         _seg_ones(nh, n, x_windows.dtype),
     )
-    return out.reshape(bnw, n, c)
+    out = out.reshape(bnw, n, c)
+    if pack == 2:  # unpack: (bnw', n, 2c) -> (2 bnw', n, c)
+        c0 = c // 2
+        out = (out.reshape(bnw, n, 2, c0).transpose(0, 2, 1, 3)
+               .reshape(bnw * 2, n, c0))
+    return out
 
 
 @functools.partial(
@@ -537,6 +604,10 @@ def fused_swin_pair(x_windows, params_a, bias_a, params_b, bias_b, *,
         wqkv, bqkv, wproj, bproj, g1, b1, g2, b2, w1, bf1, w2, bf2 = params
         if bqkv is None:
             bqkv = jnp.zeros((3 * c,), wqkv.dtype)
+        # round weights to the compute dtype BEFORE folding — the exact
+        # rounding order of the single-block path (whose callers cast at
+        # the call site), keeping the two paths bitwise-identical
+        wqkv, bqkv, w1, bf1 = (a.astype(dt) for a in (wqkv, bqkv, w1, bf1))
         wqkv, bqkv, w1, bf1 = _fold_fast_weights(
             wqkv, bqkv, g1, b1, g2, b2, w1, bf1, c, scale, dt)
         return (wqkv.astype(dt), bqkv.reshape(1, 3 * c),

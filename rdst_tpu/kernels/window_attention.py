@@ -106,7 +106,9 @@ USE_PALLAS_ATTENTION = os.environ.get("RDST_TPU_PALLAS", "0") == "1"
 
 def pallas_mode():
     """'swin' (default: whole-block fused kernel, kernels/swin_block.py —
-    measured 2.1x XLA at RDST-E1 shapes) | '1' (attention-only kernel) |
+    measured 2.95x round-1 XLA at RDST-E1 shapes) | 'pair' (DSTL pair
+    fused incl. the in-VMEM shift relayout) | 'pack' (whole-block with
+    two windows per lane row at C<=64) | '1' (attention-only kernel) |
     'block' (fused qkv+attn+proj) | '0'/'off' (pure XLA).
 
     '1' and 'block' were the round-1 experiments and measured SLOWER

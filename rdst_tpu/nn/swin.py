@@ -258,7 +258,7 @@ class SwinTransformerBlock(nn.Module):
         from rdst_tpu.kernels.swin_block import fused_block_fits
 
         use_fused = (
-            wa.pallas_mode() in ("swin", "pair") and deterministic
+            wa.pallas_mode() in ("swin", "pair", "pack") and deterministic
             and self.qk_scale is None
             and c % self.num_heads == 0
             and h % ws == 0 and w % ws == 0
@@ -361,7 +361,12 @@ class SwinTransformerBlock(nn.Module):
 
         import os
 
+        from rdst_tpu.kernels import window_attention as wa
+
         ipp = int(os.environ.get("RDST_TPU_PALLAS_IPP", "2"))
+        # 'pack' mode: narrow-channel blocks (2C fits one 128-lane tile)
+        # run two windows per lane row for ~2x VPU/MXU fill
+        pack = 2 if (wa.pallas_mode() == "pack" and c <= 64) else 1
         y = fused_swin_block(
             x_windows.astype(dt),
             wqkv.astype(dt), None if bqkv is None else bqkv.astype(dt),
@@ -370,7 +375,7 @@ class SwinTransformerBlock(nn.Module):
             gamma2.astype(jnp.float32), beta2.astype(jnp.float32),
             w1.astype(dt), bf1.astype(dt), w2.astype(dt), bf2.astype(dt),
             bias, num_heads=self.num_heads, windows_per_image=nw,
-            images_per_program=ipp, interpret=interpret)
+            images_per_program=ipp, pack=pack, interpret=interpret)
 
         y = window_reverse(y.reshape(-1, ws, ws, c), ws, h, w)
         if shift > 0:

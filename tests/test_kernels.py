@@ -186,6 +186,57 @@ class TestFusedSwinBlock:
         assert np.array_equal(got, want)
 
 
+class TestWindowPacking:
+    """pack=2: two windows per lane row (2nH virtual heads over 2C,
+    block-diagonal weights, segment-LN)."""
+
+    @pytest.mark.parametrize("shift", [0, 4])
+    def test_pack_matches_unpacked_and_f32(self, rng, shift, monkeypatch):
+        import jax
+        import jax.numpy as jnp
+
+        from rdst_tpu.nn.swin import SwinTransformerBlock
+
+        b, h, w, c, nh, ws = 2, 16, 24, 12, 3, 8  # nW = 6 (even)
+        xf = jnp.asarray(rng.normal(0, 1, (b, h * w, c)), jnp.float32)
+        blk32 = SwinTransformerBlock(dim=c, num_heads=nh, window_size=ws,
+                                     shift_size=shift, mlp_ratio=2.0,
+                                     build_resolution=(h, w))
+        monkeypatch.setenv("RDST_TPU_PALLAS", "0")
+        params = blk32.init(jax.random.PRNGKey(0), xf, (h, w))
+        ref32 = np.asarray(blk32.apply(params, xf, (h, w)))
+
+        blk16 = SwinTransformerBlock(dim=c, num_heads=nh, window_size=ws,
+                                     shift_size=shift, mlp_ratio=2.0,
+                                     build_resolution=(h, w),
+                                     dtype=jnp.bfloat16)
+        x16 = xf.astype(jnp.bfloat16)
+        monkeypatch.setenv("RDST_TPU_PALLAS_INTERPRET", "1")
+        monkeypatch.setenv("RDST_TPU_PALLAS", "swin")
+        base = np.asarray(blk16.apply(params, x16, (h, w)), np.float32)
+        monkeypatch.setenv("RDST_TPU_PALLAS", "pack")
+        got = np.asarray(blk16.apply(params, x16, (h, w)), np.float32)
+
+        denom = np.abs(ref32).max()
+        # packing must agree with the unpacked fast path to bf16 noise
+        assert np.abs(got - base).max() / denom < 0.02
+        # and carry no systematic error vs the f32 reference
+        assert np.abs(got - ref32).max() / denom < 0.05
+        assert np.abs(got - ref32).mean() / denom < 0.005
+
+    def test_segment_normalize(self, rng):
+        """nseg=2 segment-LN == plain LN applied to each half."""
+        import jax.numpy as jnp
+
+        from rdst_tpu.kernels.swin_block import _normalize
+
+        x = jnp.asarray(rng.normal(2, 3, (32, 24)), jnp.float32)
+        got = np.asarray(_normalize(x, nseg=2))
+        want = np.concatenate([np.asarray(_normalize(x[:, :12])),
+                               np.asarray(_normalize(x[:, 12:]))], axis=1)
+        assert np.abs(got - want).max() < 1e-5
+
+
 class TestFusedSwinPair:
     """DSTL-pair kernel: both blocks + the in-VMEM shift relayout."""
 
