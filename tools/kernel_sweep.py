@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Kernel-mode throughput sweep on the real TPU (RDST-E1 bench geometry).
+
+Runs bench.py's exact methodology (HBM-resident volumes, one jitted
+fori_loop sweep per measurement, single fetch) across Pallas modes and
+images_per_program settings, sharing the model/params/data setup so each
+extra point only pays its own compile + first-execution cost.
+
+Usage:  python tools/kernel_sweep.py [mode[:ipp] ...]
+        default points: 0 swin swin:4 pair pair:4 pack pack:4
+
+Each mode is traced fresh (the mode env vars are read at trace time).
+Prints one table row per point; paste winners into PERF.md and make the
+best mode the bench default.
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+SLICES_PER_VOLUME = int(os.environ.get("SWEEP_SLICES", 128))
+LR_SHAPE = (40, 32, 1)
+N_DISTINCT_VOLUMES = 2
+N_ITERS = int(os.environ.get("SWEEP_ITERS", 16))
+
+
+def main():
+    points = sys.argv[1:] or ["0", "swin", "swin:4", "pair", "pair:4",
+                              "pack", "pack:4"]
+
+    import jax
+    import jax.numpy as jnp
+
+    from rdst_tpu.config import ParametersLoader
+    from rdst_tpu.data.ops_jax import resize_nhwc
+    from rdst_tpu.metrics import jax_metrics
+    from rdst_tpu.models import build_generator
+
+    dtype = jnp.bfloat16
+    paras = ParametersLoader("config_files/rdst_e1_oasis_x4.ini")
+    model = build_generator(paras, dtype=dtype)
+    model32 = build_generator(paras)
+
+    rng = np.random.default_rng(0)
+    hr_shape = (SLICES_PER_VOLUME, LR_SHAPE[0] * 4, LR_SHAPE[1] * 4, 1)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((1,) + LR_SHAPE))
+    volumes = jax.device_put(
+        rng.random((N_DISTINCT_VOLUMES,) + hr_shape, dtype=np.float32))
+
+    # f32 reference output for the agreement check (one volume)
+    os.environ["RDST_TPU_PALLAS"] = "0"
+    lr0 = resize_nhwc(volumes[0], LR_SHAPE[:2], "cubic")
+    ref32 = np.asarray(jax.jit(model32.apply)(params, lr0))
+
+    rows = []
+    for point in points:
+        mode, _, ipp = point.partition(":")
+        os.environ["RDST_TPU_PALLAS"] = mode
+        os.environ["RDST_TPU_PALLAS_IPP"] = ipp or "2"
+
+        def eva_volume(p, hr):
+            lr = resize_nhwc(hr, LR_SHAPE[:2], "cubic").astype(dtype)
+            sr = model.apply(p, lr).astype(jnp.float32)
+            m = 4
+            return jax_metrics.psnr(jax_metrics.crop_margin(hr, m),
+                                    jax_metrics.crop_margin(sr, m))
+
+        def eva_sweep(p, vols):
+            def body(i, acc):
+                hr = vols[jax.lax.rem(i, N_DISTINCT_VOLUMES)]
+                return acc.at[i].set(eva_volume(p, hr))
+
+            return jax.lax.fori_loop(
+                0, N_ITERS, body, jnp.zeros((N_ITERS, SLICES_PER_VOLUME)))
+
+        sweep = jax.jit(eva_sweep)  # fresh identity per point
+        try:
+            jax.device_get(sweep(params, volumes))  # compile + first exec
+            t0 = time.time()
+            psnr_v = jax.device_get(sweep(params, volumes))
+            dt_s = time.time() - t0
+            sps = N_ITERS * SLICES_PER_VOLUME / dt_s
+            # bf16-vs-f32 agreement on one volume through this mode
+            out = np.asarray(
+                jax.jit(model.apply)(params, lr0.astype(dtype)), np.float32)
+            mse = float(np.mean((out - ref32) ** 2))
+            agree_db = 10 * np.log10(
+                float(np.square(ref32.max() - ref32.min())) / max(mse, 1e-30))
+            ok = np.isfinite(psnr_v).all()
+            rows.append((point, sps, agree_db, ok))
+            print(f"{point:10s} {sps:9.1f} slices/s  agree {agree_db:5.1f} dB"
+                  f"  finite={bool(ok)}", flush=True)
+        except Exception as e:  # keep sweeping past a broken point
+            rows.append((point, float("nan"), float("nan"), False))
+            print(f"{point:10s} FAILED: {type(e).__name__}: {e}", flush=True)
+
+    print("\nmode        slices/s   agreement")
+    for point, sps, agree, ok in rows:
+        print(f"{point:10s} {sps:9.1f}   {agree:5.1f} dB {'' if ok else 'FAIL'}")
+
+
+if __name__ == "__main__":
+    main()
