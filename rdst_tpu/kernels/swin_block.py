@@ -43,9 +43,23 @@ Design points (each measured on the v5e-lite chip):
   parity tests and f32 inference.
 
 Grid: one program per `images_per_program` images (T = ipp·nW
-windows); weights/bias use constant index maps so Mosaic fetches them
+windows), or — when a whole image overflows VMEM — per window chunk
+t | nW with per-chunk bias slices routed through a modular BlockSpec
+index map. Weights/bias use constant index maps so Mosaic fetches them
 once, amortized over the batch. Matmuls accumulate f32
 (preferred_element_type); LN computes in f32 in both paths.
+
+Variants on top of the single-block kernel (all parity-gated in
+tests/test_kernels.py, selected via RDST_TPU_PALLAS):
+
+* **'pair'** — `fused_swin_pair` runs a whole DSTL (shift-0 block +
+  shifted block) per program with the inter-block window_reverse ->
+  roll -> partition done in VMEM (`_shift_relayout`), saving one HBM
+  round-trip + one XLA relayout copy per DSTL.
+* **'pack'** — at C <= 64, two windows share each lane row: the pair
+  becomes 2nH virtual heads over 2C channels with block-diagonal
+  weights (the head-packing machinery is reused verbatim) and
+  segment-LN, doubling VPU lane fill and K=C MXU depth.
 """
 
 from __future__ import annotations
