@@ -431,6 +431,8 @@ def fused_swin_block(x_windows, wqkv, bqkv, wproj, bproj,
     nw = windows_per_image
     es = jnp.dtype(x_windows.dtype).itemsize
     fast = use_fast_path(x_windows.dtype)
+    if bqkv is None:
+        bqkv = jnp.zeros((3 * c,), wqkv.dtype)
 
     # Window packing (pack=2, fast path): two windows share each lane
     # row, so C<=64 blocks run their VPU passes and K=C matmuls at ~2x
@@ -455,8 +457,6 @@ def fused_swin_block(x_windows, wqkv, bqkv, wproj, bproj,
         def dup(v):  # (d,) -> (2d,) per-slot duplicate
             return jnp.concatenate([v, v])
 
-        if bqkv is None:
-            bqkv = jnp.zeros((3 * c,), wqkv.dtype)
         wqkv = jnp.concatenate(
             [bd(wqkv[:, i * c:(i + 1) * c]) for i in range(3)], axis=1)
         bqkv = jnp.concatenate(
@@ -503,8 +503,6 @@ def fused_swin_block(x_windows, wqkv, bqkv, wproj, bproj,
     grid = (bnw // t,)
 
     xg = x_windows.reshape(bnw // t, t * n, c)
-    if bqkv is None:
-        bqkv = jnp.zeros((3 * c,), wqkv.dtype)
 
     if fast:
         wqkv, bqkv, w1, bf1 = _fold_fast_weights(
@@ -620,7 +618,9 @@ def fused_swin_pair(x_windows, params_a, bias_a, params_b, bias_b, *,
             bqkv = jnp.zeros((3 * c,), wqkv.dtype)
         # round weights to the compute dtype BEFORE folding — the exact
         # rounding order of the single-block path (whose callers cast at
-        # the call site), keeping the two paths bitwise-identical
+        # the call site). Kernel operands then match bitwise; whole-jit
+        # outputs can still drift by bf16-ulp where XLA fuses the glue
+        # around the two programs differently.
         wqkv, bqkv, w1, bf1 = (a.astype(dt) for a in (wqkv, bqkv, w1, bf1))
         wqkv, bqkv, w1, bf1 = _fold_fast_weights(
             wqkv, bqkv, g1, b1, g2, b2, w1, bf1, c, scale, dt)

@@ -107,6 +107,7 @@ class SRTrainer:
         self.state: Optional[TrainState] = None
         self.d_state = None  # adversarial discriminator state (params/stats/opt)
         self._eval_fns = {}
+        self._last_total_f = float("nan")  # latest fetched loss, raw
 
         # output tree (basic_trainer.py:82-108)
         gan_type = paras.get("gan_type", "None")
@@ -395,10 +396,9 @@ class SRTrainer:
                 if at_check:
                     plog = self.quick_eva()
                     self.save_checkpoint()
-                    recs = self.training_loss_records.get(ts) or [float("nan")]
                     self.write_log(
                         f"[{ts}] epoch {self.current_epoch}/{self.epochs_in_total[ts]} "
-                        f"loss={recs[-1]:.6f} ({np.mean(self.training_epoch_costs[-self.check_every:]):.3f}s/epoch)\n"
+                        f"loss={self._last_total_f:.6f} ({np.mean(self.training_epoch_costs[-self.check_every:]):.3f}s/epoch)\n"
                         + plog)
 
             self._flush_scalar_records(pending, ts)
@@ -421,6 +421,10 @@ class SRTrainer:
         pending.clear()
         for total_f, report in host:
             total_f = float(total_f)
+            # _last_total_f keeps the RAW latest loss (even diverged/
+            # filtered ones) so checkpoint-boundary log lines show the
+            # actual current value, not the last accepted one
+            self._last_total_f = total_f
             if np.isfinite(total_f) and total_f < self.loss_threshold:
                 self.loss.record(
                     {k: float(v) for k, v in report.items()}, ts)
