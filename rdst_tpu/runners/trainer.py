@@ -108,6 +108,12 @@ class SRTrainer:
         self.d_state = None  # adversarial discriminator state (params/stats/opt)
         self._eval_fns = {}
         self._last_total_f = float("nan")  # latest fetched loss, raw
+        # best-quick-eva snapshot retention (per training state): small
+        # corpora overfit long runs, so the rolling latest checkpoint can
+        # be strictly worse than an earlier one — keep the best too.
+        # (Framework extension; the reference keeps only the final
+        # weights, basic_trainer.py save_models.)
+        self._best_quick: Dict[str, float] = {}
 
         # output tree (basic_trainer.py:82-108)
         gan_type = paras.get("gan_type", "None")
@@ -185,6 +191,7 @@ class SRTrainer:
             "training_loss_records": self.training_loss_records,
             "training_epoch_costs": self.training_epoch_costs,
             "loss_records": self.loss.state_dict(),
+            "best_quick": self._best_quick,
         }
         with open(join(self.checkpoint_dir, "host_state.json"), "w") as f:
             json.dump(host, f)
@@ -211,6 +218,7 @@ class SRTrainer:
         self.training_loss_records = host["training_loss_records"]
         self.training_epoch_costs = host["training_epoch_costs"]
         self.loss.load_state_dict(host["loss_records"])
+        self._best_quick = dict(host.get("best_quick", {}))
         reports = join(self.dirs["records"], "quick_validation_reports.npy")
         if exists(reports):
             self.quick_validation_reports = list(np.load(reports, allow_pickle=True))
@@ -468,6 +476,7 @@ class SRTrainer:
         report = self.quick_eva_func(recs, pairs)
         self.quick_validation_reports.append(report)
         plog = self.quick_eva_func.print(report)
+        plog += self._keep_best_snapshot(report)
         plog += f"\nQuick evaluation of {n} samples cost {time.time() - t0:.2f}s"
         self._save_image_grid(recs[: self.num_images_to_save],
                               pairs[: self.num_images_to_save])
@@ -476,6 +485,27 @@ class SRTrainer:
         except Exception as e:  # plotting must never kill training
             plog += f"\n(plotting failed: {e})"
         return plog
+
+    def _keep_best_snapshot(self, report) -> str:
+        """Write models/{state}_model_g_best.msgpack whenever the mean
+        quick-eva PSNR improves, so long runs that overfit past their
+        peak still leave the best weights on disk."""
+        vals = [np.mean(v) for k, v in report.items()
+                if k.startswith("psnr") and np.size(v)]
+        if not vals:
+            return ""
+        score = float(np.mean(vals))
+        ts = self.training_states[self.current_state_id]
+        if score <= self._best_quick.get(ts, float("-inf")):
+            return ""
+        self._best_quick[ts] = score
+        from flax import serialization
+
+        path = join(self.dirs["models"], f"{ts}_model_g_best.msgpack")
+        with open(path, "wb") as f:
+            f.write(serialization.to_bytes(jax.device_get(self.state.params)))
+        return (f"\nNew best quick-eva PSNR {score:.2f} dB -> "
+                f"snapshot kept at {path}")
 
     def final_eva(self, training_state: str) -> str:
         recs, pairs = self._infer_pairs(list(range(self.ds_valid.test_len())))

@@ -48,6 +48,8 @@ def test_train_resume_test(e2e_env):
 
     out = root / "outputs" / "RDST_TINY_OASIS_SRx4_None"
     assert (out / "models" / "WarmUP_model_g.msgpack").exists()
+    # best-quick-eva snapshot retention (overfit-proof long runs)
+    assert (out / "models" / "WarmUP_model_g_best.msgpack").exists()
     assert (out / "checkpoint" / "host_state.json").exists()
     assert (out / "training_log.txt").exists()
     assert len(trainer.training_loss_records["WarmUP"]) == 4
