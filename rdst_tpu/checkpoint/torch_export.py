@@ -185,16 +185,89 @@ def export_swinir(params) -> Dict[str, np.ndarray]:
     return sd
 
 
+def export_from_template(params, arch: str, template, *,
+                         mean=(0.0,), std=(1.0,),
+                         **mapper_kwargs) -> Dict[str, np.ndarray]:
+    """Generic flax -> torch export for ANY family with an import map.
+
+    torch_import's per-family mappers are pure index rearrangements
+    (transposes/reshapes/splits), so they invert mechanically: run each
+    template key through the mapper with an ``arange`` index array —
+    where the indices land in the flax tree says exactly which torch
+    element each flax element came from — then scatter the flax values
+    back. ``template`` maps torch key -> tensor or shape tuple (e.g. the
+    reference model's ``state_dict()`` or any same-architecture ``.pt``
+    — the natural artifact to have when pushing weights back to torch).
+
+    Keys the import deliberately skips are reconstructed where
+    closed-form (mean-shift convs from mean/std) and otherwise omitted
+    (PReLU slopes, rel-pos index / mask buffers) — load with
+    ``strict=False``. Raises KeyError for keys the family's map cannot
+    place and ValueError when a flax leaf only partially covers a torch
+    tensor (a merge the tracer cannot invert).
+    """
+    from flax.traverse_util import flatten_dict
+
+    from rdst_tpu.checkpoint.torch_import import _MAPPERS
+
+    mapper = _MAPPERS[arch]
+    flat = flatten_dict(params["params"] if "params" in params else params)
+    flax_vals = {"/".join(str(s) for s in p): np.asarray(v)
+                 for p, v in flat.items()}
+    shift = _mean_shift_entries(mean, std)
+    sd: Dict[str, np.ndarray] = {}
+    for key, tv in template.items():
+        shape = (tuple(tv) if isinstance(tv, (tuple, list))
+                 else tuple(tv.shape))
+        n = int(np.prod(shape, dtype=np.int64)) if shape else 1
+        idx = np.arange(n, dtype=np.int64).reshape(shape)
+        placed = list(mapper(key, idx, **mapper_kwargs) or ())
+        if not placed:  # import skips it: closed-form or torch-side buffer
+            if key in shift:
+                sd[key] = shift[key]
+            continue
+        out = np.empty(n, np.float32)
+        filled = 0
+        for path, tr in placed:
+            p = "/".join(str(s) for s in path)
+            if p not in flax_vals:
+                raise KeyError(f"{arch} export: template key {key!r} maps "
+                               f"to {p!r}, absent from the flax tree")
+            fv = np.asarray(flax_vals[p], np.float32)
+            tr = np.asarray(tr)
+            if tr.shape != fv.shape:
+                raise ValueError(
+                    f"{arch} export: {key!r} -> {p!r} shape mismatch "
+                    f"{tr.shape} vs {fv.shape} (partial/merged mapping)")
+            out[tr.ravel()] = fv.ravel()
+            filled += tr.size
+        if filled != n:
+            raise ValueError(f"{arch} export: {key!r} only {filled}/{n} "
+                             "elements covered by the flax tree")
+        sd[key] = out.reshape(shape)
+    return sd
+
+
 def save_torch_checkpoint(params, path: str, arch: str = "rdst",
-                          mean=(0.0,), std=(1.0,)) -> None:
+                          mean=(0.0,), std=(1.0,), template=None,
+                          **mapper_kwargs) -> None:
+    """Write a torch-loadable state_dict .pt. RDST/SwinIR have direct
+    layout writers; every other family exports through
+    ``export_from_template`` (pass the torch model's state_dict or a
+    key->shape mapping as ``template``)."""
     import torch
 
     if arch == "rdst":
         sd = export_rdstsr(params, mean, std)
     elif arch == "swinir":
         sd = export_swinir(params)
+    elif template is not None:
+        sd = export_from_template(params, arch, template, mean=mean,
+                                  std=std, **mapper_kwargs)
     else:
         raise NotImplementedError(
-            "export supports the RDSTSR and SwinIR layouts")
+            f"export for {arch!r} needs a torch-side template "
+            "(state_dict or key->shape map); RDST and SwinIR also have "
+            "template-free writers")
     torch.save({k: torch.from_numpy(np.ascontiguousarray(v).copy())
                 for k, v in sd.items()}, path)

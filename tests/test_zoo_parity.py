@@ -206,3 +206,57 @@ class TestIPTParity:
         x = np.random.default_rng(11).random((1, 12, 12, 1)).astype(np.float32)
         for s in (2.0, 4.0):
             _check(ref, t, j, "ipt", x, extra=(s,), tol=5e-4, verify=False)
+
+
+class TestTemplateExport:
+    """Generic index-traced flax->torch export (torch_export.
+    export_from_template): import a reference state_dict, export it back
+    through the template, and require exact recovery of every key the
+    import consumed."""
+
+    def _roundtrip(self, tmodel, arch, mean=(0.0,), std=(1.0,), **kw):
+        import torch
+
+        from rdst_tpu.checkpoint.torch_export import export_from_template
+        from rdst_tpu.checkpoint.torch_import import state_dict_to_numpy
+
+        sd = state_dict_to_numpy(tmodel.state_dict())
+        params = convert_state_dict(sd, arch, **kw)
+        back = export_from_template(params, arch, tmodel.state_dict(),
+                                    mean=mean, std=std, **kw)
+        missing = []
+        for k, v in sd.items():
+            if k not in back:
+                missing.append(k)
+                continue
+            np.testing.assert_allclose(
+                back[k], v, rtol=0, atol=1e-6,
+                err_msg=f"{arch} template-export mismatch at {k}")
+        # only import-skipped buffer keys may be absent
+        for k in missing:
+            assert any(t in k for t in
+                       ("activation", "relative_position_index",
+                        "attn_mask")), f"{arch}: lost key {k}"
+
+    def test_edsr(self, ref):
+        from networks.edsr import EDSR as T
+
+        p = _paras(edsr_n_resblocks=2, edsr_n_feats=12, edsr_res_scale=0.9,
+                   edsr_bn=None, edsr_act="leaky_relu")
+        self._roundtrip(T(p, mean=[0.1], std=[0.9]), "edsr",
+                        mean=[0.1], std=[0.9])
+
+    def test_rdn(self, ref):
+        from networks.rdn import RDN as T
+
+        p = _paras(rdn_growth_rate=6, rdn_n_dense_layers=3, rdn_n_blocks=2,
+                   rdn_dense_scale=0.8, rdn_bn=None, rdn_n_feats=12,
+                   rdn_local_res_scale=0.9, rdn_global_res_scale=1.1)
+        self._roundtrip(T(p), "rdn")
+
+    def test_rcan(self, ref):
+        from networks.common import default_conv
+        from networks.rcan import RCAN as T
+
+        t = T(default_conv, 1, 2, 2, 16, 4, 4, 1.0, mean=[0.1], std=[0.9])
+        self._roundtrip(t, "rcan", mean=[0.1], std=[0.9])
