@@ -25,9 +25,20 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def initialize_distributed() -> None:
-    """Initialize jax.distributed if launched in a multi-host job."""
-    if os.environ.get("COORDINATOR_ADDRESS") and jax.process_count() == 1:
+    """Initialize jax.distributed if launched in a multi-host job.
+
+    Must run BEFORE the backends exist: probing jax.process_count()
+    (or running any computation) first would initialize the local-only
+    backend and make distributed.initialize() raise — so the guard is
+    env-only and double-initialization is tolerated instead.
+    """
+    if not os.environ.get("COORDINATOR_ADDRESS"):
+        return
+    try:
         jax.distributed.initialize()
+    except RuntimeError as e:  # idempotent for callers that re-enter
+        if "already" not in str(e).lower():
+            raise
 
 
 def make_mesh(axes: Sequence[str] = ("data",), shape: Optional[Sequence[int]] = None,
@@ -49,11 +60,19 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch, axis: str = "data"):
-    """device_put a host batch with batch-dim sharding (pads if needed).
+_REPLICATION_WARNED = False
 
-    The batch size must divide the mesh axis; callers control batch_size
-    so we assert rather than silently pad.
+
+def shard_batch(mesh: Mesh, batch, axis: str = "data"):
+    """device_put a host batch with batch-dim sharding.
+
+    Leaves whose leading dim does not divide the mesh axis are
+    REPLICATED (scalars and per-batch metadata rely on this; a
+    legitimately indivisible batch — e.g. lr_image_size_remain forces
+    batch_size 1 — still computes correctly, just without data
+    parallelism). The first such replicated array-leaf emits a one-time
+    warning so a misconfigured batch size doesn't silently burn the
+    whole mesh on redundant work.
     """
     n = mesh.shape[axis]
     sharding = batch_sharding(mesh, axis)
@@ -61,6 +80,16 @@ def shard_batch(mesh: Mesh, batch, axis: str = "data"):
     def put(x):
         if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] % n == 0:
             return jax.device_put(x, sharding)
+        if hasattr(x, "ndim") and x.ndim >= 2 and n > 1:
+            global _REPLICATION_WARNED
+            if not _REPLICATION_WARNED:
+                _REPLICATION_WARNED = True
+                import warnings
+
+                warnings.warn(
+                    f"shard_batch: leading dim {x.shape[0]} does not "
+                    f"divide the {n}-device '{axis}' axis; replicating "
+                    "(every device computes the full batch)")
         return jax.device_put(x, replicated(mesh))
 
     return jax.tree.map(put, batch)

@@ -54,8 +54,21 @@ class SRTester:
         idt = str(paras.get("inference_dtype", "float32")).lower()
         self.infer_dtype = (jnp.bfloat16 if idt in ("bfloat16", "bf16")
                             else jnp.float32)
+        # normalized-input configs bake training-set mean/std into the
+        # model's mean_shift (module attrs, not params) — the tester must
+        # rebuild them from the SAME training volumes or every output is
+        # offset by the dataset mean (the reference carries them inside
+        # the torch checkpoint instead, networks/common.py:151-167)
+        mean = std = None
+        norm = paras.normal_inputs or ""
+        if not self.bicubic and ("zero_mean" in norm or "unit_std" in norm):
+            from rdst_tpu.data.readers import make_train_valid_datasets
+
+            ds_train, _ = make_train_valid_datasets(paras)
+            mean, std = ds_train.mean, ds_train.std
         self.model = (None if self.bicubic
-                      else build_generator(paras, dtype=self.infer_dtype))
+                      else build_generator(paras, mean, std,
+                                           dtype=self.infer_dtype))
         self.params = None
         self._eval_fns = {}
 
@@ -114,8 +127,32 @@ class SRTester:
         if ext == ".msgpack":
             from flax import serialization
 
+            # the template must declare every lazily-created per-scale
+            # branch (MDSR heads/tails, IPT queries) or from_bytes fails
+            # on the key mismatch — mirror the trainer's multi-scale init
             x0 = jnp.zeros((1, 16, 16, self.paras.input_channel))
-            template = jax.jit(self.model.init)(jax.random.PRNGKey(0), x0)
+            all_scales = sorted(
+                {float(s) for s in self.sr_scales}
+                | {float(s) for s in (self.paras.get("all_sr_scales") or [])})
+            if self.paras.scale_free:
+                smax = float(max(all_scales))
+                template = jax.jit(
+                    lambda r, x: self.model.init(r, x, smax)
+                )(jax.random.PRNGKey(0), x0)
+            else:
+                # union of the TRAINING scales (what the snapshot holds)
+                # and the testing scales (what inference will trace)
+                scales = all_scales
+
+                def init_method(mdl, x):
+                    out = None
+                    for s in scales:
+                        out = mdl(x, s)
+                    return out
+
+                template = jax.jit(
+                    lambda r, x: self.model.init(r, x, method=init_method)
+                )(jax.random.PRNGKey(0), x0)
             with open(path, "rb") as f:
                 return serialization.from_bytes(jax.device_get(template), f.read())
         if ext in (".pt", ".tar", ".pth"):
@@ -194,29 +231,34 @@ class SRTester:
         n, h, w, c = lr.shape
         patch = int(self.paras.patch_size)
         stride = int(self.paras.get("test_lr_patch_stride", patch))
-        si = int(s)
         lr_folder = ImageFolder((n, h, w, c), patch, stride)
         hr_shape = pairs[0][s]["gt"].shape
+        # derive the HR grid from the TRUE LR->HR ratio, not int(s):
+        # fractional / scale_free scales produce non-integer nominal s
+        r = hr_shape[0] / h
         hr_folder = ImageFolder((n, hr_shape[0], hr_shape[1], c),
-                                patch * si, stride * si)
+                                int(round(patch * r)), int(round(stride * r)))
         patches = np.asarray(lr_folder.unfold(jnp.asarray(lr)))
-        fn = self._eval_fn((patches.shape, s, "tiled"))
         ndev = self.mesh.shape["data"]
         chunk = -(-max(self.paras.batch_size * 4, 8) // ndev) * ndev
-        outs = []
+        sr_scale = None
+        if self.paras.scale_free:  # static REAL scale, like the
+            sr_scale = float(pairs[0][s]["real_sr_scale"])  # non-tiled path
+        fn = self._eval_fn(((chunk,) + patches.shape[1:], s, "tiled"))
+        outs, pads = [], []
         for i in range(0, patches.shape[0], chunk):
             block = patches[i : i + chunk]
             pad = chunk - block.shape[0]
             if pad:
                 block = np.concatenate([block, block[-1:].repeat(pad, 0)])
-            sr_scale = None
-            if self.paras.scale_free:
-                sr_scale = float(s)
-            fn = self._eval_fn(((chunk,) + patches.shape[1:], s, "tiled"))
             xb, _ = shard_batch_padded(self.mesh, block)
-            res = np.asarray(fn(self.params, xb, float(s), sr_scale))
-            outs.append(res[: res.shape[0] - pad] if pad else res)
-        sr_patches = np.concatenate(outs)
+            # keep results on-device; ONE fetch after the loop (per-chunk
+            # readback through the tunnel would serialize dispatches)
+            outs.append(fn(self.params, xb, float(s), sr_scale))
+            pads.append(pad)
+        host = jax.device_get(outs)
+        sr_patches = np.concatenate(
+            [o[: o.shape[0] - p] if p else o for o, p in zip(host, pads)])
         return np.asarray(hr_folder.fold(jnp.asarray(sr_patches)))
 
     # -- evaluation with resume (basic_tester.py:147-189) -----------------------

@@ -342,6 +342,14 @@ class SRTrainer:
             self.loss.set_training_state(ts)
             left = self.epochs_in_total[ts] - self.current_epoch
             if left <= 0:
+                # state already trained to completion — but a crash in the
+                # post-loop tail (save_models/final_eva run AFTER the last
+                # checkpoint write) would otherwise skip those artifacts
+                # forever on resume; redo them if the snapshot is missing
+                model_file = join(self.dirs["models"], f"{ts}_model_g.msgpack")
+                if not exists(model_file):
+                    self.save_models(ts)
+                    self.write_log(self.final_eva(ts))
                 self.current_epoch = 0
                 continue
             self.write_log(fancy_print(
@@ -367,9 +375,14 @@ class SRTrainer:
                     host_batch["seg_gt"] = batch["seg_gt"]
                 if self.residual_scale > 0:
                     host_batch["res"] = batch["res"]
-                if self.paras.scale_free:
+                if self.paras.scale_free or self.loss.adversarial is not None:
+                    # ScaleGAN's D labels are 1/scale, so the adversarial
+                    # path needs per-batch scales on fixed-scale configs too
+                    scale_val = (batch["real_sr_scale"]
+                                 if self.paras.scale_free
+                                 else batch["sr_factor"])
                     host_batch["sr_scales"] = np.full(
-                        (batch["in"].shape[0], 1), batch["real_sr_scale"], np.float32)
+                        (batch["in"].shape[0], 1), scale_val, np.float32)
                 device_batch = shard_batch(self.mesh, host_batch)
 
                 self.jax_rng, step_rng = jax.random.split(self.jax_rng)
@@ -490,8 +503,16 @@ class SRTrainer:
         """Write models/{state}_model_g_best.msgpack whenever the mean
         quick-eva PSNR improves, so long runs that overfit past their
         peak still leave the best weights on disk."""
-        vals = [np.mean(v) for k, v in report.items()
-                if k.startswith("psnr") and np.size(v)]
+        def psnr_values(rep):
+            vals = []
+            for k, v in rep.items():
+                if isinstance(v, dict):  # multi-modality: nested per key
+                    vals.extend(psnr_values(v))
+                elif k.startswith("psnr") and np.size(v):
+                    vals.append(np.mean(v))
+            return vals
+
+        vals = psnr_values(report)
         if not vals:
             return ""
         score = float(np.mean(vals))

@@ -152,6 +152,21 @@ def test_multi_scale_mdsr_training(e2e_env):
     report = trainer.quick_validation_reports[-1]
     assert "psnr_2.0" in report and "psnr_4.0" in report
 
+    # the tester must load the multi-scale snapshot (its msgpack template
+    # has to declare the lazily-created per-scale heads/tails) and score
+    # both scales end-to-end
+    from rdst_tpu.runners.tester import SRTester
+
+    q = ParametersLoader.from_dict(p.to_dict())
+    q.set("sr_scales_for_final_testing", [2.0, 4.0])
+    q.set("well_trained_single_scale_model_g",
+          str(root / "outputs" / "MDSR_TINY_None" / "models"
+              / "WarmUP_model_g.msgpack"))
+    tester = SRTester(q)
+    tester.setup()
+    stacked = tester.test()
+    assert "psnr_2.0" in stacked and "psnr_4.0" in stacked
+
 
 def test_tiled_inference_matches_whole_slice(e2e_env):
     """Tiled unfold/SR/fold inference must closely match whole-slice SR."""

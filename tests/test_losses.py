@@ -180,7 +180,10 @@ class TestAdversarial:
         p.set("rdst_rdb_depths", [1])
         p.set("rdst_growth_rate", 12)
         p.set("multi_threads", 1)
-        p.set("gan_type", "GAN")
+        # ScaleGAN also covers the fixed-scale regression: its D labels
+        # are 1/scale, so the trainer must feed per-batch sr_scales even
+        # when scale_free is off
+        p.set("gan_type", "ScaleGAN")
         p.set("gan_k", 1)
         p.set("gan_d_base_features", 8)
         p.set("gan_d_depth", 3)
