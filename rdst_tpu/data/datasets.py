@@ -106,12 +106,15 @@ class MultiSRTrainDataset(SliceStore):
         channels = self.hr_images[0].shape[-1]
         self.mean = [0.0] * channels
         self.std = [1.0] * channels
-        if self.hr_images:
+        if "zero_mean" in norm or "unit_std" in norm:
+            # only materialize the full-dataset stack (a float64 copy of
+            # every slice) when the stats are actually requested
             stack = np.stack(self.hr_images)
             if "zero_mean" in norm:
                 self.mean = list(np.mean(stack, axis=(0, 1, 2)))
             if "unit_std" in norm:
                 self.std = list(np.std(stack, axis=(0, 1, 2)))
+            del stack
 
     def sample(self, rng: np.random.Generator) -> Dict[str, object]:
         """One training batch: same SR factor for all items (NHWC arrays)."""

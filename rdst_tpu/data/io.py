@@ -87,8 +87,12 @@ def _parse_header(raw: bytes) -> VolumeHeader:
         shape=shape,
         dtype=np.dtype(_DTYPES[datatype]).newbyteorder(bo),
         vox_offset=int(vox_offset) if is_nifti and magic[:3] == b"n+1" else 0,
-        scl_slope=float(scl_slope) if scl_slope not in (0.0,) else 1.0,
-        scl_inter=float(scl_inter),
+        # NIfTI-1 / nibabel semantics: slope 0 OR NaN means "no scaling"
+        # (real-world files ship scl_slope=nan; applying it literally
+        # would NaN the whole volume); a NaN intercept likewise drops out
+        scl_slope=(float(scl_slope)
+                   if np.isfinite(scl_slope) and scl_slope != 0.0 else 1.0),
+        scl_inter=float(scl_inter) if np.isfinite(scl_inter) else 0.0,
         byteorder=bo,
         is_nifti=is_nifti,
     )

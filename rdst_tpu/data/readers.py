@@ -115,6 +115,11 @@ class OASISSegSRTrain(OASISMultiSRTrain):
             img, lab = ops.paired_random_crop(
                 self.hr_images[i], self.segmentation_labels[i], hr_size, 1, 0, rng
             )
+            if self.augmentation:
+                # same dihedral transform for the patch AND its labels,
+                # matching the base sampler (datasets.py sample)
+                k = int(rng.integers(8))
+                img, lab = ops.dihedral(img, k), ops.dihedral(lab, k)
             hr_patches.append(img)
             labels.append(lab)
         lr_patches = [ops.resize(p, lr_size, "cubic", self.blur_method) for p in hr_patches]
@@ -151,9 +156,7 @@ class BraTSLoaderMixin:
             lab = np.swapaxes(lab, 0, self.dim)
             lab, mask = select_slices(lab, threshold=100.0)
             self.masks[pid] = mask
-            lab[lab == 4] = 3
-            self._label_slices = getattr(self, "_label_slices", [])
-            self._label_slices.extend(list(lab[..., None]))
+            del lab  # only the slice-selection mask is used downstream
 
             stacked, ranges = [], []
             for m in self.modalities:

@@ -30,13 +30,18 @@ from rdst_tpu.data import io
 
 
 def _smooth_noise(rng: np.random.Generator, shape, sigma: float = 6.0) -> np.ndarray:
+    x = rng.normal(0, 1, shape)
     try:
         from scipy.ndimage import gaussian_filter
 
-        x = rng.normal(0, 1, shape)
         x = gaussian_filter(x, sigma)
-    except ImportError:  # fallback: fft low-pass
-        x = rng.normal(0, 1, shape)
+    except ImportError:  # fallback: separable box blurs approximate it
+        w = max(1, int(sigma))
+        k = np.ones(2 * w + 1) / (2 * w + 1)
+        for _ in range(3):  # 3 box passes ~ gaussian (CLT)
+            for ax in range(x.ndim):
+                x = np.apply_along_axis(
+                    lambda v: np.convolve(v, k, mode="same"), ax, x)
     x = (x - x.min()) / (x.max() - x.min() + 1e-12)
     return x
 

@@ -161,7 +161,29 @@ class FID:
         sigma = np.cov(act, rowvar=False)
         return mu, sigma
 
-    def __call__(self, gts, preds) -> float:
+    def _fid(self, gts, preds) -> float:
         mu1, s1 = self._stats(gts)
         mu2, s2 = self._stats(preds)
         return frechet_distance(mu1, s1, mu2, s2)
+
+    @staticmethod
+    def _hwc(img) -> np.ndarray:
+        img = np.asarray(img, np.float32)
+        return img[:, :, None] if img.ndim == 2 else img
+
+    def __call__(self, gts, preds) -> float:
+        """Reference channel semantics (fid.py:169-195): RGB scores
+        directly; any other channel count scores each channel alone
+        (replicated to 3 for the extractor) and returns the mean of the
+        per-channel FIDs — uniformly across extractors."""
+        gts = [self._hwc(g) for g in gts]
+        preds = [self._hwc(p) for p in preds]
+        c = gts[0].shape[-1]
+        if c == 3:
+            return self._fid(gts, preds)
+        vals = []
+        for ch in range(c):
+            g = [np.repeat(x[..., ch:ch + 1], 3, axis=-1) for x in gts]
+            p = [np.repeat(x[..., ch:ch + 1], 3, axis=-1) for x in preds]
+            vals.append(self._fid(g, p))
+        return float(np.mean(vals))

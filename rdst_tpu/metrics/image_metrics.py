@@ -205,37 +205,51 @@ def sam(gt, p):
     return float(np.mean(ang[valid])) if valid.any() else 0.0
 
 
-def _vifp_single(gt, p, sigma_nsq=2.0):
-    from scipy.ndimage import gaussian_filter
+def _fspecial_gauss(n: int, sigma: float) -> np.ndarray:
+    """MATLAB fspecial('gaussian') as sewar's utils.fspecial builds it:
+    an n-tap truncated window, sub-eps taps zeroed, normalized."""
+    x, y = np.mgrid[-(n // 2):n - n // 2, -(n // 2):n - n // 2]
+    g = np.exp(-((x ** 2 + y ** 2) / (2.0 * sigma ** 2)))
+    g[g < np.finfo(g.dtype).eps * g.max()] = 0
+    s = g.sum()
+    return g / s if s != 0 else g
 
+
+def _vifp_single(gt, p, sigma_nsq=2.0):
+    """Exact sewar algorithm (full_ref.vifp / the original VIF MATLAB
+    code): N = 2^(4-scale+1)+1 tap window with sigma N/5, 'valid'
+    convolutions, 1e-10 thresholds, num/den without an extra eps."""
+    from scipy.signal import convolve2d
+
+    eps = 1e-10
     num, den = 0.0, 0.0
     for scale in range(1, 5):
-        sd = 2 ** (4 - scale + 1) + 0.5
-        sigma = sd / 5.0
+        n = int(2 ** (4 - scale + 1) + 1)
+        win = _fspecial_gauss(n, n / 5.0)
         if scale > 1:
-            gt = gaussian_filter(gt, sigma)[::2, ::2]
-            p = gaussian_filter(p, sigma)[::2, ::2]
-        mu1 = gaussian_filter(gt, sigma)
-        mu2 = gaussian_filter(p, sigma)
+            gt = convolve2d(gt, win, mode="valid")[::2, ::2]
+            p = convolve2d(p, win, mode="valid")[::2, ::2]
+        mu1 = convolve2d(gt, win, mode="valid")
+        mu2 = convolve2d(p, win, mode="valid")
         mu1_sq, mu2_sq, mu1mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-        s1 = gaussian_filter(gt * gt, sigma) - mu1_sq
-        s2 = gaussian_filter(p * p, sigma) - mu2_sq
-        s12 = gaussian_filter(gt * p, sigma) - mu1mu2
+        s1 = convolve2d(gt * gt, win, mode="valid") - mu1_sq
+        s2 = convolve2d(p * p, win, mode="valid") - mu2_sq
+        s12 = convolve2d(gt * p, win, mode="valid") - mu1mu2
         s1 = np.maximum(s1, 0)
         s2 = np.maximum(s2, 0)
-        g = s12 / (s1 + EPS)
+        g = s12 / (s1 + eps)
         sv = s2 - g * s12
-        g[s1 < EPS] = 0
-        sv[s1 < EPS] = s2[s1 < EPS]
-        s1 = np.where(s1 < EPS, 0, s1)
-        g[s2 < EPS] = 0
-        sv[s2 < EPS] = 0
+        g[s1 < eps] = 0
+        sv[s1 < eps] = s2[s1 < eps]
+        s1 = np.where(s1 < eps, 0, s1)
+        g[s2 < eps] = 0
+        sv[s2 < eps] = 0
         sv[g < 0] = s2[g < 0]
         g = np.maximum(g, 0)
-        sv = np.maximum(sv, EPS)
+        sv = np.maximum(sv, eps)
         num += np.sum(np.log10(1 + g * g * s1 / (sv + sigma_nsq)))
         den += np.sum(np.log10(1 + s1 / sigma_nsq))
-    return num / (den + EPS)
+    return num / den
 
 
 def vifp(gt, p):

@@ -222,8 +222,6 @@ class InceptionFeatures:
         self._run = run
 
     def __call__(self, imgs) -> np.ndarray:
-        from rdst_tpu.data.ops_jax import resize_nhwc
-
         feats = []
         batch = []
         for img in imgs:
@@ -232,7 +230,7 @@ class InceptionFeatures:
                 img = img[:, :, None]
             if img.shape[-1] == 1:
                 img = np.repeat(img, 3, axis=-1)
-            batch.append(img[None])
+            batch.append(img)
             if len(batch) == self.batch_size:
                 feats.append(self._flush(batch))
                 batch = []
@@ -243,12 +241,20 @@ class InceptionFeatures:
     def _flush(self, batch):
         import jax.numpy as jnp
 
-        x = jnp.asarray(np.concatenate(batch))
-        x = resize_nhwc_cached(x)
+        from rdst_tpu.data.ops_jax import resize_nhwc
+
+        if all(b.shape == batch[0].shape for b in batch):
+            x = jnp.asarray(np.stack(batch))
+            if batch[0].shape[:2] != (299, 299):
+                x = resize_nhwc(x, (299, 299), "linear")
+        else:  # mixed sizes: resize each to the inception input alone
+            x = jnp.asarray(np.stack([_to_inception_size(b) for b in batch]))
         return np.asarray(self._run(x))
 
 
-def resize_nhwc_cached(x):
+def _to_inception_size(img: np.ndarray) -> np.ndarray:
     from rdst_tpu.data.ops_jax import resize_nhwc
 
-    return resize_nhwc(x, (299, 299), "linear")
+    if img.shape[:2] == (299, 299):
+        return img
+    return np.asarray(resize_nhwc(img[None], (299, 299), "linear")[0])
