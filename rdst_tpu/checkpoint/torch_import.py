@@ -265,11 +265,25 @@ def _map_tail(rest: str, value, up="tail_up", conv="tail_conv"):
 
 
 def _map_resblock_body(rest: str, value):
-    """common.py ResBlock body Sequential [conv, act, conv] -> conv_{0,1}."""
-    m = re.match(r"body\.(\d+)\.(weight|bias)$", rest)
+    """common.py ResBlock body Sequential [conv, act, conv] -> conv_{0,1}.
+
+    PReLU slopes (1-D 'weight' at the act slot) are skipped — the flax
+    side approximates PReLU with the fixed 0.25 torch-init slope.
+    BatchNorm resblock checkpoints are rejected with a clear error (the
+    flax SR models are BN-free)."""
+    m = re.match(
+        r"body\.(\d+)\.(weight|bias|running_mean|running_var"
+        r"|num_batches_tracked)$", rest)
     if not m:
         raise KeyError(f"unmapped ResBlock key: {rest}")
-    yield from _yield_conv((f"conv_{int(m.group(1)) // 2}",), m.group(2), value)
+    leaf = m.group(2)
+    if leaf in ("running_mean", "running_var", "num_batches_tracked"):
+        raise KeyError(
+            "BatchNorm ResBlock checkpoints are not supported (the flax SR "
+            f"models are BN-free): body key {rest!r}")
+    if leaf == "weight" and np.asarray(value).ndim == 1:
+        return  # PReLU slope
+    yield from _yield_conv((f"conv_{int(m.group(1)) // 2}",), leaf, value)
 
 
 def _map_rdb(rest: str, value):

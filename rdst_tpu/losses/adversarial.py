@@ -88,7 +88,10 @@ class ScaleAdversarial:
         fake = jax.lax.stop_gradient(fake)
         params, batch_stats, opt_state = (
             state["params"], state["batch_stats"], state["opt_state"])
-        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        if rng is None and "GP" in self.gan_type:
+            # a constant fallback key would pin the GP interpolation draw
+            # to the same alpha every step, biasing the penalty estimator
+            raise ValueError("d_step needs a per-step rng for GP variants")
 
         tot_d = tot_real = tot_fake = 0.0
         for k in range(self.gan_k):

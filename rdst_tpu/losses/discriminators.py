@@ -19,7 +19,7 @@ from flax import linen as nn
 from rdst_tpu.models.rdst import to_image, to_tokens
 from rdst_tpu.nn.common import Conv
 from rdst_tpu.nn.layers import LayerNorm, activation, trunc_normal_init
-from rdst_tpu.nn.swin import BasicLayer
+from rdst_tpu.nn.swin import BasicLayer, PatchMerging
 
 
 class BasicBlock(nn.Module):
@@ -30,6 +30,7 @@ class BasicBlock(nn.Module):
     stride: int = 1
     bn: bool = True
     act: Optional[str] = "leaky_relu"
+    act_slope: float = 0.2
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -41,7 +42,7 @@ class BasicBlock(nn.Module):
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=self.dtype, name="bn")(x)
         if self.act:
-            x = activation(self.act)(x)
+            x = activation(self.act, self.act_slope)(x)
         return x
 
 
@@ -52,12 +53,14 @@ class CNNDiscriminator(nn.Module):
     patch_size: int = 96  # HR patch size (lr_patch * scale)
     bn: bool = True
     act: str = "leaky_relu"
+    act_slope: float = 0.2  # paras.leaky_relu_slope (reference wgan.py)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         out_channels = self.base_features
         x = BasicBlock(out_channels, 3, bn=self.bn, act=self.act,
+                       act_slope=self.act_slope,
                        dtype=self.dtype, name="features_0")(x, train)
         for i in range(self.depth):
             if i % 2 == 1:
@@ -66,32 +69,14 @@ class CNNDiscriminator(nn.Module):
             else:
                 stride = 2
             x = BasicBlock(out_channels, 3, stride=stride, bn=self.bn, act=self.act,
+                           act_slope=self.act_slope,
                            dtype=self.dtype, name=f"features_{i + 1}")(x, train)
         x = x.reshape(x.shape[0], -1)
         x = nn.Dense(1024, dtype=self.dtype, kernel_init=trunc_normal_init,
                      name="classifier_0")(x)
-        x = activation(self.act)(x)
+        x = activation(self.act, self.act_slope)(x)
         return nn.Dense(1, dtype=self.dtype, kernel_init=trunc_normal_init,
                         name="classifier_1")(x)
-
-
-class GANPatchMerging(nn.Module):
-    """2x2 merge used by the Swin discriminator (trans_wgan.py:207-242)."""
-
-    dim: int
-    dtype: jnp.dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x, x_size):
-        h, w = x_size
-        b, l, c = x.shape
-        x = x.reshape(b, h, w, c)
-        x = jnp.concatenate(
-            [x[:, 0::2, 0::2], x[:, 1::2, 0::2], x[:, 0::2, 1::2], x[:, 1::2, 1::2]],
-            axis=-1).reshape(b, -1, 4 * c)
-        x = LayerNorm(dtype=self.dtype, name="norm")(x)
-        return nn.Dense(2 * self.dim, use_bias=False, dtype=self.dtype,
-                        kernel_init=trunc_normal_init, name="reduction")(x)
 
 
 class RSTB4GAN(nn.Module):
@@ -118,8 +103,10 @@ class RSTB4GAN(nn.Module):
             return BasicBlock(self.dim * 2, 3, stride=2, bn=self.bn, act=self.act,
                               dtype=self.dtype, name="downsample_layer")(img, train)
         if self.downsample == "patchmerging":
-            merged = GANPatchMerging(self.dim, dtype=self.dtype,
-                                     name="downsample_layer")(tokens, x_size)
+            # nn/swin.PatchMerging: identical math/param tree to the
+            # reference's GAN merge (trans_wgan.py:207-242)
+            merged = PatchMerging(self.dim, dtype=self.dtype,
+                                  name="downsample_layer")(tokens, x_size)
             return to_image(merged, (x_size[0] // 2, x_size[1] // 2))
         return to_image(tokens, x_size)
 
@@ -134,18 +121,23 @@ class STDiscriminator(nn.Module):
     downsample: str = "conv"
     bn: bool = True
     act: str = "leaky_relu"
+    act_slope: float = 0.2
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        # replicate-pad to the fixed build resolution (trans_wgan.py:192-200)
+        # replicate-pad (or crop — the reference's negative F.pad) to the
+        # fixed build resolution (trans_wgan.py:192-200)
+        x = x[:, : self.input_resolution[0], : self.input_resolution[1], :]
         h, w = x.shape[1:3]
         ph = self.input_resolution[0] - h
         pw = self.input_resolution[1] - w
-        if ph or pw:
-            x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
+        if ph > 0 or pw > 0:
+            x = jnp.pad(x, ((0, 0), (0, max(ph, 0)), (0, max(pw, 0)), (0, 0)),
+                        mode="edge")
 
         x = BasicBlock(self.basic_dim, 3, bn=self.bn, act=self.act,
+                       act_slope=self.act_slope,
                        dtype=self.dtype, name="head")(x, train)
         dim = self.basic_dim
         x_size = tuple(self.input_resolution)
@@ -159,7 +151,7 @@ class STDiscriminator(nn.Module):
         x = x.reshape(x.shape[0], -1)
         x = nn.Dense(1024, dtype=self.dtype, kernel_init=trunc_normal_init,
                      name="classifier_0")(x)
-        x = activation(self.act)(x)
+        x = activation(self.act, self.act_slope)(x)
         return nn.Dense(1, dtype=self.dtype, kernel_init=trunc_normal_init,
                         name="classifier_1")(x)
 
@@ -178,10 +170,14 @@ def build_discriminator(paras, dtype=jnp.float32):
             depth=tuple(paras.get("stgan_depth", (2, 2, 2))),
             window_size=tuple(paras.get("stgan_window_size", (8, 8, 8))),
             downsample=paras.get("stgan_downsample", "conv"),
-            bn=bn, act=paras.get("d_act", "leaky_relu"), dtype=dtype)
+            bn=bn, act=paras.get("d_act", "leaky_relu"),
+            act_slope=float(paras.get("leaky_relu_slope", 0.2) or 0.2),
+            dtype=dtype)
     return CNNDiscriminator(
         in_chans=paras.input_channel,
         base_features=paras.get("gan_d_base_features", 64),
         depth=paras.get("gan_d_depth", 7),
         patch_size=int(paras.patch_size * paras.sr_scale),
-        bn=bn, act=paras.get("d_act", "leaky_relu"), dtype=dtype)
+        bn=bn, act=paras.get("d_act", "leaky_relu"),
+        act_slope=float(paras.get("leaky_relu_slope", 0.2) or 0.2),
+        dtype=dtype)

@@ -88,12 +88,15 @@ class SegUNetLoss:
             with open(native, "rb") as f:
                 return pickle.load(f)
         if path and os.path.exists(path):
-            try:
-                from rdst_tpu.checkpoint.torch_import_unet import load_smp_unet
-
-                return load_smp_unet(path, **cfg)
-            except Exception as e:  # pragma: no cover
-                warnings.warn(f"could not import smp UNet weights: {e}")
+            # torch smp-UNet import is NOT implemented (the reference's
+            # unet_oasis.pt blob is stripped upstream, so the mapping is
+            # unverifiable) — be loud instead of silently ignoring the
+            # user's weights file
+            warnings.warn(
+                f"SegUNetLoss: unet_pt_path={path!r} is set, but importing "
+                "torch smp-UNet checkpoints is not supported; train a native "
+                "substitute with `python -m rdst_tpu.runners.train_seg_unet` "
+                "and point unet_native_ckpt at it.")
         warnings.warn(
             "SegUNetLoss: no pre-trained UNet weights found; using a frozen "
             "random-initialized UNet (structured perceptual prior). Train one "

@@ -87,9 +87,17 @@ class SRLoss:
 
     # -- jit-friendly composite ---------------------------------------------
 
-    def __call__(self, pred, batch, state: Optional[str] = None):
-        """Weighted sum over the current state's terms. Traceable."""
+    def __call__(self, pred, batch, state: Optional[str] = None,
+                 adv_state=None):
+        """Weighted sum over the current state's terms. Traceable.
+
+        ``adv_state`` (discriminator params/stats) must be supplied when
+        the state has GAN terms — it rides into the batch the same way
+        the trainer's jitted step provides it, so this entry point and
+        the training loop share one code path."""
         state = state or self.current_state
+        if adv_state is not None:
+            batch = dict(batch, _adv_state=adv_state)
         total = jnp.float32(0.0)
         report = {}
         for name, scalar in self.loss_scalars[state].items():

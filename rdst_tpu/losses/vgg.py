@@ -123,6 +123,14 @@ def load_native_features(tap: int, path: str | None = None):
         conv_idx += 1
         module_idx += 2
     params = {k: v for k, v in blob["params"].items() if k in keep}
+    if set(params) != keep:  # blob trained for a shallower tap: a partial
+        # stack would crash deep inside flax — fall back cleanly instead
+        import warnings
+
+        warnings.warn(
+            f"native VGG blob at {path} lacks convs "
+            f"{sorted(keep - set(params))} for tap {tap}; ignoring it")
+        return None, 1.0
     return {"params": params}, float(blob.get("width", 1.0))
 
 

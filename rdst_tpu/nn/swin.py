@@ -91,7 +91,10 @@ def resolve_ws_shift(decide_res: Tuple[int, int], h: int, w: int,
     if min(decide_res) <= ws:
         shift = 0
         ws = min(decide_res)
-    return min(ws, h, w), shift
+    ws = min(ws, h, w)
+    if shift >= ws:  # runtime extent shrank the window below the shift
+        shift = 0
+    return ws, shift
 
 
 class _LinearParams(nn.Module):
@@ -442,8 +445,12 @@ class BasicLayer(nn.Module):
             dp = self.drop_path[i] if self.drop_path else 0.0
             block = self._block(i, dp)
             if self.use_checkpoint:
-                block = nn.remat(lambda m, *a: m(*a))(block, x, x_size, deterministic)  # type: ignore
-                x = block
+                # x_size / deterministic must stay static under remat or
+                # tracing fails on the bool/int conversions
+                x = nn.remat(
+                    SwinTransformerBlock.__call__,
+                    static_argnums=(2, 3),
+                )(block, x, x_size, deterministic)
             else:
                 x = block(x, x_size, deterministic)
         return x

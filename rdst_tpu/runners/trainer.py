@@ -265,15 +265,8 @@ class SRTrainer:
             pred = forward(p, batch, rng, sr_factor)
             if rs > 0:  # model embedding (meta_sr_trainer.py:111-112)
                 pred = pred * (1.0 - rs) + batch["res"] * rs
-            if d_state is not None:
-                batch = dict(batch, _adv_state=d_state)
-            total = jnp.float32(0.0)
-            report = {}
-            for name, scalar in scalars.items():
-                value = loss.terms[name](pred, batch["out"], batch)
-                total = total + scalar * value
-                report[name] = value
-            return total, report
+            # one shared code path with SRLoss.__call__ (no divergence)
+            return loss(pred, batch, training_state, adv_state=d_state)
 
         def guarded_update(params, opt_state, grads, total):
             ok = jnp.isfinite(total) & (total < threshold)
