@@ -105,11 +105,12 @@ USE_PALLAS_ATTENTION = os.environ.get("RDST_TPU_PALLAS", "0") == "1"
 
 
 def pallas_mode():
-    """'swin' (default: whole-block fused kernel, kernels/swin_block.py —
-    measured 2.95x round-1 XLA at RDST-E1 shapes) | 'pair' (DSTL pair
-    fused incl. the in-VMEM shift relayout) | 'pack' (whole-block with
-    two windows per lane row at C<=64) | '1' (attention-only kernel) |
-    'block' (fused qkv+attn+proj) | '0'/'off' (pure XLA).
+    """'pair' (default: DSTL-pair fused kernel incl. the in-VMEM shift
+    relayout — measured 2475 slices/s vs swin 2178 / XLA 669 at RDST-E1
+    shapes, v5e-lite) | 'swin' (single fused whole-block) | 'pack'
+    (whole-block with two windows per lane row at C<=64 — measured
+    SLOWER than swin at RDST-E1 shapes: 1968) | '1' (attention-only
+    kernel) | 'block' (fused qkv+attn+proj) | '0'/'off' (pure XLA).
 
     '1' and 'block' were the round-1 experiments and measured SLOWER
     than XLA fusion (377 / 503 vs 669 slices/s) — kept for
@@ -119,7 +120,7 @@ def pallas_mode():
         return ""
     if mode in ("", "1") and USE_PALLAS_ATTENTION:
         return "1"
-    return mode or "swin"
+    return mode or "pair"
 
 
 def pallas_interpret() -> bool:

@@ -12,6 +12,7 @@ from typing import Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
+from rdst_tpu.nn.layers import resolve_act
 from rdst_tpu.nn.common import Conv, ResBlock, UpSampler, mean_shift
 
 
@@ -62,7 +63,7 @@ def make_edsr(paras, mean=None, std=None, dtype=jnp.float32) -> EDSR:
         n_feats=paras.get("edsr_n_feats", 64),
         n_resblocks=paras.get("edsr_n_resblocks", 16),
         res_scale=paras.get("edsr_res_scale", 1.0),
-        act=paras.get("edsr_act", "leaky_relu"),
+        act=resolve_act(paras, paras.get("edsr_act", "leaky_relu")),
         mean=tuple(mean) if mean is not None else (0.0,) * c,
         std=tuple(std) if std is not None else (1.0,) * c,
         scale_free=paras.scale_free,

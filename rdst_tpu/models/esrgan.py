@@ -11,6 +11,7 @@ from typing import Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
+from rdst_tpu.nn.layers import resolve_act
 from rdst_tpu.nn.common import Conv, ResidualDenseBlock, UpSampler, mean_shift
 
 
@@ -86,7 +87,7 @@ def make_esrgan(paras, mean=None, std=None, dtype=jnp.float32) -> ESRGAN:
         rdb_res_scale=paras.get("esrgan_rdb_res_scale", 0.2),
         rrdb_res_scale=paras.get("esrgan_rrdb_res_scale", 0.2),
         global_res_scale=paras.get("esrgan_global_res_scale", 1.0),
-        act=paras.get("esrgan_act", "leaky_relu"),
+        act=resolve_act(paras, paras.get("esrgan_act", "leaky_relu")),
         mean=tuple(mean) if mean is not None else (0.0,) * c,
         std=tuple(std) if std is not None else (1.0,) * c,
         dtype=dtype,

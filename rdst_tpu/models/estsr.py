@@ -18,7 +18,7 @@ from typing import Optional, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from rdst_tpu.models.rdst import RRDSTB, pad_to_window_multiple, to_image, to_tokens
+from rdst_tpu.models.rdst import _lcm_all, RRDSTB, pad_to_window_multiple, to_image, to_tokens
 from rdst_tpu.nn.common import Conv, UpSampler, mean_shift
 from rdst_tpu.nn.layers import LayerNorm, trunc_normal_init
 
@@ -57,7 +57,7 @@ class ESTSR(nn.Module):
     @nn.compact
     def __call__(self, x, sr_scale=None, deterministic: bool = True):
         nb = self.num_rrdb_blocks
-        x, orig_hw = pad_to_window_multiple(x, max(self.window_size))
+        x, orig_hw = pad_to_window_multiple(x, _lcm_all(self.window_size))
         x = mean_shift(x, self.mean, self.std, "sub")
         x = Conv(self.embed_dim, 3, dtype=self.dtype, name="head")(x)
 

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from rdst_tpu.nn.common import Conv, ResBlock, UpSampler, mean_shift
-from rdst_tpu.nn.layers import LayerNorm, trunc_normal_init
+from rdst_tpu.nn.layers import LayerNorm, trunc_normal_init, resolve_act
 
 
 class MultiheadAttention(nn.Module):
@@ -260,7 +260,7 @@ def make_ipt(paras, mean=None, std=None, dtype=jnp.float32) -> IPT:
         no_mlp=paras.ipt_no_mlp,
         pos_every=paras.ipt_pos_every,
         no_pos=paras.ipt_no_pos,
-        act=paras.ipt_act,
+        act=resolve_act(paras, paras.ipt_act),
         mean=tuple(mean) if mean is not None else (0.0,) * c,
         std=tuple(std) if std is not None else (1.0,) * c,
         dtype=dtype,

@@ -12,6 +12,7 @@ from typing import Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
+from rdst_tpu.nn.layers import resolve_act
 from rdst_tpu.nn.common import Conv, ResBlock, UpSampler, mean_shift
 
 
@@ -28,9 +29,11 @@ class MDSR(nn.Module):
 
     @nn.compact
     def __call__(self, x, sr_scale=2.0, deterministic: bool = True):
-        scale = int(float(sr_scale))
-        if scale not in (2, 3, 4):
+        if float(sr_scale) not in (2.0, 3.0, 4.0):
+            # validate BEFORE truncation: int(2.5) == 2 would silently
+            # select the wrong branch (the reference raises, mdsr.py:93-106)
             raise ValueError(f"Invalid sr_scale {sr_scale}, should be 2/3/4")
+        scale = int(float(sr_scale))
         if not self.feature_maps_only:
             x = mean_shift(x, self.mean, self.std, "sub")
         x = Conv(self.n_feats, 3, dtype=self.dtype, name=f"head_{scale}")(x)
@@ -54,7 +57,7 @@ def make_mdsr(paras, mean=None, std=None, dtype=jnp.float32) -> MDSR:
         n_feats=paras.get("mdsr_n_feats", 64),
         n_resblocks=paras.get("mdsr_n_resblocks", 16),
         res_scale=paras.get("mdsr_res_scale", 1.0),
-        act=paras.get("mdsr_act", "leaky_relu"),
+        act=resolve_act(paras, paras.get("mdsr_act", "leaky_relu")),
         mean=tuple(mean) if mean is not None else (0.0,) * c,
         std=tuple(std) if std is not None else (1.0,) * c,
         dtype=dtype,

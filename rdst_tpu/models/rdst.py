@@ -39,6 +39,17 @@ def to_image(x: jax.Array, x_size: Tuple[int, int]) -> jax.Array:
     return x.reshape(b, x_size[0], x_size[1], c)
 
 
+def _lcm_all(sizes) -> int:
+    """LCM of the per-block window sizes: padding to max() alone breaks
+    blocks whose window does not divide it (e.g. [6, 4])."""
+    import math
+
+    out = 1
+    for s in sizes:
+        out = math.lcm(out, int(s))
+    return out
+
+
 def pad_to_window_multiple(x: jax.Array, multiple: int) -> Tuple[jax.Array, Tuple[int, int]]:
     """Reflect-pad H,W up to a window multiple (the reference crashes on
     non-multiple whole-slice inputs; we pad and crop the output instead)."""
@@ -68,6 +79,7 @@ class DenseSTLayer(nn.Module):
     dim_modify_mode: str = "tail"
     pre_norm: bool = False
     build_resolution: Optional[Tuple[int, int]] = None
+    layer_norm: bool = True  # False = reference norm_layer=Identity
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -82,13 +94,15 @@ class DenseSTLayer(nn.Module):
         def adapter(y, in_dim, out_dim, name):
             # nn.Sequential([norm, linear]) if pre_norm else [linear, norm]
             if self.pre_norm:
-                y = LayerNorm(dtype=self.dtype, name=f"{name}_0")(y)
+                if self.layer_norm:
+                    y = LayerNorm(dtype=self.dtype, name=f"{name}_0")(y)
                 y = nn.Dense(out_dim, dtype=self.dtype, kernel_init=trunc_normal_init,
                              name=f"{name}_1")(y)
             else:
                 y = nn.Dense(out_dim, dtype=self.dtype, kernel_init=trunc_normal_init,
                              name=f"{name}_0")(y)
-                y = LayerNorm(dtype=self.dtype, name=f"{name}_1")(y)
+                if self.layer_norm:
+                    y = LayerNorm(dtype=self.dtype, name=f"{name}_1")(y)
             return y
 
         if self.dim_modify_mode == "head" and need_adapter:
@@ -101,6 +115,7 @@ class DenseSTLayer(nn.Module):
             drop=self.drop, attn_drop=self.attn_drop,
             drop_path=(self.drop_path,) * self.depth,
             build_resolution=self.build_resolution,
+            layer_norm=self.layer_norm,
             dtype=self.dtype, name="body",
         )(x, x_size, deterministic)
 
@@ -133,6 +148,7 @@ class RDSTB(nn.Module):
     residual_scale: float = 1.0
     pre_norm: bool = False
     build_resolution: Optional[Tuple[int, int]] = None
+    layer_norm: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -148,6 +164,7 @@ class RDSTB(nn.Module):
                 drop=self.drop, attn_drop=self.attn_drop, drop_path=self.drop_path,
                 dense_scale=self.dense_scale, dim_modify_mode=self.dim_modify_mode,
                 pre_norm=self.pre_norm, build_resolution=self.build_resolution,
+                layer_norm=self.layer_norm,
                 dtype=self.dtype, name=f"body_{i}",
             )(x, x_size, deterministic)
             idim += self.growth_rate
@@ -199,6 +216,7 @@ class RDSTSR(nn.Module):
     std: Sequence[float] = (1.0,)
     scale_free: bool = False
     pre_norm: bool = False
+    layer_norm: bool = True  # rdst_layer_norm: False = Identity norms
     feature_last_operation: bool = False
     # constructor-time resolution for the shift clamp decision (the RDST
     # factory passes the LR training patch size, swinIR_variations.py:1149)
@@ -210,13 +228,13 @@ class RDSTSR(nn.Module):
         num_blocks = len(self.rdb_depths)
         assert num_blocks == len(self.window_size) == len(self.num_heads) == len(self.dense_layer_depths)
 
-        x, orig_hw = pad_to_window_multiple(x, max(self.window_size))
+        x, orig_hw = pad_to_window_multiple(x, _lcm_all(self.window_size))
         x = mean_shift(x, self.mean, self.std, "sub")
         x = Conv(self.embed_dim, 3, dtype=self.dtype, name="head")(x)
 
         # forward_features over tokens
         tokens, x_size = to_tokens(x)
-        if self.patch_norm:
+        if self.patch_norm and self.layer_norm:
             tokens = LayerNorm(dtype=self.dtype, name="patch_embed_norm")(tokens)
         if self.ape:
             ape = self.param("absolute_pos_embed", trunc_normal_init,
@@ -238,10 +256,12 @@ class RDSTSR(nn.Module):
                 num_blocks=self.rdb_depths[i],
                 residual_scale=self.rdb_residual_scale,
                 pre_norm=self.pre_norm, build_resolution=self.build_resolution,
+                layer_norm=self.layer_norm,
                 dtype=self.dtype, name=f"body_{i}",
             )(tokens, x_size, deterministic)
 
-        tokens = LayerNorm(dtype=self.dtype, name="norm")(tokens)
+        if self.layer_norm:
+            tokens = LayerNorm(dtype=self.dtype, name="norm")(tokens)
         res = to_image(tokens, x_size)
         if self.global_res_scale != 1.0:
             res = res * self.global_res_scale
@@ -299,6 +319,7 @@ def make_rdst(paras, mean=None, std=None, dtype=jnp.float32) -> RDSTSR:
         drop_path_rate=paras.swin_drop_path_rate,
         ape=paras.rdst_ape,
         patch_norm=paras.rdst_patch_norm,
+        layer_norm=bool(paras.get("rdst_layer_norm", True)),
         resi_connection=paras.rdst_res_connection,
         growth_rate=paras.rdst_growth_rate,
         dense_scale=paras.rdst_dense_scale,

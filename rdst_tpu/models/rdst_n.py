@@ -14,7 +14,7 @@ from typing import Optional, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from rdst_tpu.models.rdst import RDSTB, pad_to_window_multiple, to_image, to_tokens
+from rdst_tpu.models.rdst import _lcm_all, RDSTB, pad_to_window_multiple, to_image, to_tokens
 from rdst_tpu.nn.common import Conv, UpSampler, mean_shift
 from rdst_tpu.nn.layers import LayerNorm, trunc_normal_init
 
@@ -54,7 +54,7 @@ class RDSTSR_N(nn.Module):
         num_blocks = len(self.rdb_depths)
         final_channels = int(self.embed_dim * self.global_bottleneck_ratio)
 
-        x, orig_hw = pad_to_window_multiple(x, max(self.window_size))
+        x, orig_hw = pad_to_window_multiple(x, _lcm_all(self.window_size))
         x = mean_shift(x, self.mean, self.std, "sub")
         x = Conv(self.embed_dim, 3, dtype=self.dtype, name="head")(x)
 

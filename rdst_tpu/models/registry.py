@@ -16,12 +16,16 @@ import jax.numpy as jnp
 MODEL_REGISTRY: Dict[str, Callable] = {}
 
 BUILTIN_GENERATORS = (
-    "rdst", "estsr", "ESTSR", "swinir", "edsr", "rdn", "rcan", "han",
-    "convnet-large", "convnet-lite", "srresnet", "SRResNet",
-    "srdensenet", "SRDenseNet", "esrgan", "ESRGAN", "mdsr", "MDSR",
-    "metasr", "MetaSR", "ipt", "dbpn", "DBPN", "zssr", "ZSSR",
-    "swinmlp", "swin-mlp", "wtb", "wtr", "wtp", "wts", "bicubic",
+    "rdst", "estsr", "swinir", "edsr", "rdn", "rcan", "han",
+    "convnet-large", "convnet-lite", "srresnet", "srdensenet", "esrgan",
+    "mdsr", "metasr", "ipt", "dbpn", "zssr", "swinmlp", "swin-mlp",
+    "wtb", "wtr", "wtp", "wts",
 )
+
+# the reference trainers match generator names case-sensitively in
+# several spellings ('EDSR', 'SwinIR', 'swin', 'Rcan', ...); names are
+# canonicalized to lowercase here, with the odd alias mapped explicitly
+_ALIASES = {"swin": "swinir"}
 
 
 def register(name: str):
@@ -35,13 +39,19 @@ def register(name: str):
 def build_generator(paras, mean=None, std=None, dtype=jnp.float32):
     # 'feature_generator' is the main key; the reference's sota trainer
     # reads 'sr_generator' instead (sota_sr_trainer.py:29-34) — accept both
-    name = paras.get("feature_generator") or paras.get("sr_generator")
+    raw = paras.get("feature_generator") or paras.get("sr_generator")
+    name = str(raw).strip().lower()
+    name = _ALIASES.get(name, name)
+    if name == "bicubic":
+        raise ValueError(
+            "'bicubic' is the tester's pass-through mode (no generator "
+            "network to build) — run test.py with it instead")
     # lazy imports keep optional model families decoupled
     if name not in MODEL_REGISTRY:
         _load_builtin(name)
     if name not in MODEL_REGISTRY:
         raise ValueError(
-            f"Unknown feature_generator '{name}'. "
+            f"Unknown feature_generator {raw!r}. "
             f"Available: {sorted(set(BUILTIN_GENERATORS) | set(MODEL_REGISTRY))}"
         )
     return MODEL_REGISTRY[name](paras, mean, std, dtype)
@@ -52,7 +62,7 @@ def _load_builtin(name: str) -> None:
         from rdst_tpu.models.rdst import make_rdst
 
         MODEL_REGISTRY["rdst"] = make_rdst
-    elif name in ("estsr", "ESTSR"):
+    elif name == "estsr":
         from rdst_tpu.models.estsr import make_estsr
 
         MODEL_REGISTRY[name] = make_estsr
@@ -81,23 +91,23 @@ def _load_builtin(name: str) -> None:
 
         MODEL_REGISTRY["convnet-large"] = make_convnet_large
         MODEL_REGISTRY["convnet-lite"] = make_convnet_lite
-    elif name in ("srresnet", "SRResNet"):
+    elif name == "srresnet":
         from rdst_tpu.models.srresnet import make_srresnet
 
         MODEL_REGISTRY[name] = make_srresnet
-    elif name in ("srdensenet", "SRDenseNet"):
+    elif name == "srdensenet":
         from rdst_tpu.models.srdensenet import make_srdensenet
 
         MODEL_REGISTRY[name] = make_srdensenet
-    elif name in ("esrgan", "ESRGAN"):
+    elif name == "esrgan":
         from rdst_tpu.models.esrgan import make_esrgan
 
         MODEL_REGISTRY[name] = make_esrgan
-    elif name in ("mdsr", "MDSR"):
+    elif name == "mdsr":
         from rdst_tpu.models.mdsr import make_mdsr
 
         MODEL_REGISTRY[name] = make_mdsr
-    elif name in ("metasr", "MetaSR"):
+    elif name == "metasr":
         from rdst_tpu.models.metasr import make_metasr
 
         MODEL_REGISTRY[name] = make_metasr
@@ -105,11 +115,11 @@ def _load_builtin(name: str) -> None:
         from rdst_tpu.models.ipt import make_ipt
 
         MODEL_REGISTRY["ipt"] = make_ipt
-    elif name in ("dbpn", "DBPN"):
+    elif name == "dbpn":
         from rdst_tpu.models.dbpn import make_dbpn
 
         MODEL_REGISTRY[name] = make_dbpn
-    elif name in ("zssr", "ZSSR"):
+    elif name == "zssr":
         from rdst_tpu.models.zssr import make_zssr
 
         MODEL_REGISTRY[name] = make_zssr

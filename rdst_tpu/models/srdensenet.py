@@ -12,6 +12,7 @@ from typing import Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
+from rdst_tpu.nn.layers import resolve_act
 from rdst_tpu.nn.common import Conv, DenseLayer, UpSampler, mean_shift
 
 
@@ -83,7 +84,7 @@ def make_srdensenet(paras, mean=None, std=None, dtype=jnp.float32) -> SRDenseNet
         skip_type=paras.get("srdensenet_type", "all"),
         dense_scale=paras.get("srdensenet_dense_scale", 1.0),
         n_feats=paras.get("srdensenet_n_feats", 256),
-        act=paras.get("srdensenet_act", "relu"),
+        act=resolve_act(paras, paras.get("srdensenet_act", "relu")),
         mean=tuple(mean) if mean is not None else (0.0,) * c,
         std=tuple(std) if std is not None else (1.0,) * c,
         dtype=dtype,

@@ -7,6 +7,7 @@ from typing import Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
+from rdst_tpu.nn.layers import resolve_act
 from rdst_tpu.nn.common import Conv, ResBlock, UpSampler, mean_shift
 
 
@@ -49,7 +50,7 @@ def make_srresnet(paras, mean=None, std=None, dtype=jnp.float32) -> SRResNet:
         n_feats=paras.get("srresnet_n_feats", 64),
         n_resblocks=paras.get("srresnet_n_resblocks", 16),
         res_scale=paras.get("srresnet_res_scale", 1.0),
-        act=paras.get("srresnet_act", "prelu"),
+        act=resolve_act(paras, paras.get("srresnet_act", "prelu")),
         mean=tuple(mean) if mean is not None else (0.0,) * c,
         std=tuple(std) if std is not None else (1.0,) * c,
         dtype=dtype,

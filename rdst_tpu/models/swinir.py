@@ -35,6 +35,7 @@ class RSTB(nn.Module):
     drop_path: Sequence[float] = ()
     resi_connection: str = "1conv"
     build_resolution: Optional[Tuple[int, int]] = None
+    layer_norm: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -46,7 +47,8 @@ class RSTB(nn.Module):
             qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
             drop=self.drop, attn_drop=self.attn_drop,
             drop_path=tuple(self.drop_path),
-            build_resolution=self.build_resolution, dtype=self.dtype,
+            build_resolution=self.build_resolution,
+            layer_norm=self.layer_norm, dtype=self.dtype,
             name="residual_group",
         )(x, x_size, deterministic)
         y = to_image(x, x_size)
@@ -86,6 +88,7 @@ class SwinIR(nn.Module):
     # (lr_patch//scale//ws+1)*ws (swin_transformer_sr.py:855), which decides
     # the constructor-time shift clamp for every block
     build_resolution: Optional[Tuple[int, int]] = None
+    layer_norm: bool = True  # sir_layer_norm: False = Identity norms
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -100,7 +103,7 @@ class SwinIR(nn.Module):
 
         def forward_features(feat):
             tokens, x_size = to_tokens(feat)
-            if self.patch_norm:
+            if self.patch_norm and self.layer_norm:
                 tokens = LayerNorm(dtype=self.dtype, name="patch_embed_norm")(tokens)
             if self.ape:
                 ape = self.param("absolute_pos_embed", trunc_normal_init,
@@ -118,9 +121,11 @@ class SwinIR(nn.Module):
                     drop_path=tuple(float(d) for d in dpr[start : start + depth]),
                     resi_connection=self.resi_connection,
                     build_resolution=self.build_resolution,
+                    layer_norm=self.layer_norm,
                     dtype=self.dtype, name=f"layers_{i}",
                 )(tokens, x_size, deterministic)
-            tokens = LayerNorm(dtype=self.dtype, name="norm")(tokens)
+            if self.layer_norm:
+                tokens = LayerNorm(dtype=self.dtype, name="norm")(tokens)
             return to_image(tokens, x_size)
 
         lrelu = activation("leaky_relu", 0.2)
@@ -138,6 +143,10 @@ class SwinIR(nn.Module):
             elif self.upscale == 3:
                 x = Conv(9 * self.num_feat, 3, dtype=self.dtype, name="upsample_0")(x)
                 x = pixel_shuffle(x, 3)
+            else:  # the reference Upsample raises too (common.py UpSampler)
+                raise ValueError(
+                    f"pixelshuffle upsampler supports scale 2^n or 3, "
+                    f"got {self.upscale}")
             x = Conv(self.in_chans, 3, dtype=self.dtype, name="conv_last")(x)
         elif self.upsampler == "pixelshuffledirect":
             x = Conv(self.embed_dim, 3, dtype=self.dtype, name="conv_first")(x)
@@ -184,6 +193,7 @@ def make_swinir(paras, mean=None, std=None, dtype=jnp.float32) -> SwinIR:
         drop_path_rate=paras.sir_drop_path_rate,
         ape=paras.sir_ape,
         patch_norm=paras.sir_patch_norm,
+        layer_norm=bool(paras.get("sir_layer_norm", True)),
         upscale=int(paras.sr_scale),
         img_range=paras.sir_img_range,
         upsampler=paras.sir_upsampler,

@@ -11,7 +11,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from rdst_tpu.nn.common import Conv
-from rdst_tpu.nn.layers import activation
+from rdst_tpu.nn.layers import activation, resolve_act
 
 
 class ZSSRNet(nn.Module):
@@ -38,6 +38,6 @@ def make_zssr(paras, mean=None, std=None, dtype=jnp.float32) -> ZSSRNet:
         inside_channel=paras.get("zssr_n_feats", 64),
         num_layers=paras.get("zssr_num_layers", 8),
         residual=paras.get("zssr_residual", True),
-        act=paras.get("zssr_act", "relu"),
+        act=resolve_act(paras, paras.get("zssr_act", "relu")),
         dtype=dtype,
     )

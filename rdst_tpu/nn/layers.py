@@ -73,12 +73,25 @@ class DropPath(nn.Module):
         return jnp.where(mask, x / keep, 0.0)
 
 
+def resolve_act(paras, act: Optional[str]) -> Optional[str]:
+    """Bake the config's leaky_relu_slope into the act spec string so it
+    survives the string-typed plumbing through model attributes (the
+    reference reads paras.leaky_relu_slope for its CNN families)."""
+    if act == "leaky_relu":
+        s = float(paras.get("leaky_relu_slope", 0.2) or 0.2)
+        if s != 0.2:
+            return f"leaky_relu:{s}"
+    return act
+
+
 def activation(name: Optional[str], slope: float = 0.2) -> Callable:
     if name in (None, "none", "None"):
         return lambda x: x
     if name == "relu":
         return jax.nn.relu
-    if name == "leaky_relu":
+    if isinstance(name, str) and name.startswith("leaky_relu"):
+        if ":" in name:  # 'leaky_relu:<slope>' (see resolve_act)
+            slope = float(name.split(":", 1)[1])
         return lambda x: jax.nn.leaky_relu(x, negative_slope=slope)
     if name == "prelu":  # PReLU-as-fixed-slope fallback (0.25 torch init)
         return lambda x: jax.nn.leaky_relu(x, negative_slope=0.25)

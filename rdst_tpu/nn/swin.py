@@ -242,6 +242,7 @@ class SwinTransformerBlock(nn.Module):
     # img_size to (lr_patch//scale//ws+1)*ws, permanently disabling shifts.
     # None = decide from the runtime x_size.
     build_resolution: Optional[Tuple[int, int]] = None
+    layer_norm: bool = True  # False = the reference's norm_layer=Identity
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -262,7 +263,7 @@ class SwinTransformerBlock(nn.Module):
 
         use_fused = (
             wa.pallas_mode() in ("swin", "pair", "pack") and deterministic
-            and self.qk_scale is None
+            and self.layer_norm and self.qk_scale is None
             and c % self.num_heads == 0
             and h % ws == 0 and w % ws == 0
             and fused_block_fits(
@@ -276,7 +277,8 @@ class SwinTransformerBlock(nn.Module):
                                      interpret=wa.pallas_interpret())
 
         shortcut = x
-        x = LayerNorm(dtype=self.dtype, name="norm1")(x)
+        if self.layer_norm:
+            x = LayerNorm(dtype=self.dtype, name="norm1")(x)
         x = x.reshape(b, h, w, c)
 
         if shift > 0:
@@ -300,9 +302,10 @@ class SwinTransformerBlock(nn.Module):
 
         drop_path = DropPath(self.drop_path)
         x = shortcut + drop_path(x, deterministic)
+        xn = (LayerNorm(dtype=self.dtype, name="norm2")(x)
+              if self.layer_norm else x)
         y = Mlp(hidden_features=int(self.dim * self.mlp_ratio), drop=self.drop,
-                dtype=self.dtype, name="mlp")(
-            LayerNorm(dtype=self.dtype, name="norm2")(x), deterministic)
+                dtype=self.dtype, name="mlp")(xn, deterministic)
         return x + drop_path(y, deterministic)
 
     def _kernel_inputs(self, x_size, ws: int, shift: int):
@@ -402,6 +405,7 @@ class BasicLayer(nn.Module):
     drop_path: Tuple[float, ...] = ()
     use_checkpoint: bool = False
     build_resolution: Optional[Tuple[int, int]] = None
+    layer_norm: bool = True
     dtype: jnp.dtype = jnp.float32
 
     def _block(self, i: int, dp: float = 0.0) -> "SwinTransformerBlock":
@@ -410,7 +414,7 @@ class BasicLayer(nn.Module):
             shift_size=0 if i % 2 == 0 else self.window_size // 2,
             mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
             drop=self.drop, attn_drop=self.attn_drop, drop_path=dp,
-            build_resolution=self.build_resolution,
+            build_resolution=self.build_resolution, layer_norm=self.layer_norm,
             dtype=self.dtype, name=f"blocks_{i}",
         )
 
@@ -424,7 +428,7 @@ class BasicLayer(nn.Module):
         ws, shift = resolve_ws_shift(self.build_resolution or (h, w), h, w,
                                      self.window_size, self.window_size // 2)
         use_pair = (
-            wa.pallas_mode() == "pair" and deterministic
+            wa.pallas_mode() == "pair" and deterministic and self.layer_norm
             and self.depth % 2 == 0 and not self.use_checkpoint
             and self.qk_scale is None and use_fast_path(self.dtype)
             and c % self.num_heads == 0
