@@ -227,8 +227,14 @@ def _vifp_single(gt, p, sigma_nsq=2.0):
         n = int(2 ** (4 - scale + 1) + 1)
         win = _fspecial_gauss(n, n / 5.0)
         if scale > 1:
+            if min(gt.shape) < n or (min(gt.shape) - n + 1 + 1) // 2 < n:
+                break  # image exhausted: smaller slices keep the scales
+                # that fit (sewar itself crashes here; identical numbers
+                # wherever all four scales run)
             gt = convolve2d(gt, win, mode="valid")[::2, ::2]
             p = convolve2d(p, win, mode="valid")[::2, ::2]
+        elif min(gt.shape) < n:
+            break
         mu1 = convolve2d(gt, win, mode="valid")
         mu2 = convolve2d(p, win, mode="valid")
         mu1_sq, mu2_sq, mu1mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
@@ -249,7 +255,7 @@ def _vifp_single(gt, p, sigma_nsq=2.0):
         sv = np.maximum(sv, eps)
         num += np.sum(np.log10(1 + g * g * s1 / (sv + sigma_nsq)))
         den += np.sum(np.log10(1 + s1 / sigma_nsq))
-    return num / den
+    return float(num / den) if den != 0 else float("nan")
 
 
 def vifp(gt, p):

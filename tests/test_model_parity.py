@@ -174,3 +174,27 @@ class TestTorchExport:
 
         got = ref.torch_forward_nhwc(tmodel, x)
         assert np.abs(got - want).max() < 2e-4
+
+
+def test_flagship_weights_asset_loads():
+    """The committed flagship checkpoint deserializes into the E1-40k
+    config's model template (guards the asset against layout drift)."""
+    import pathlib
+
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+
+    from rdst_tpu.models import build_generator
+
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    asset = repo / "weights" / "rdst_e1_40k_best_oasis_x4.msgpack"
+    assert asset.exists()
+    p = ParametersLoader(str(repo / "config_files" / "rdst_e1_40k_oasis_x4.ini"))
+    model = build_generator(p)
+    template = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                   jnp.zeros((1, 16, 16, 1)))
+    params = serialization.from_bytes(jax.device_get(template),
+                                      asset.read_bytes())
+    n = sum(x.size for x in jax.tree.leaves(params))
+    assert n > 4_000_000  # full RDST-E1 (4.46M params)
