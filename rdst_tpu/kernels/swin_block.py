@@ -351,7 +351,12 @@ def _fold_fast_weights(wqkv, bqkv, g1, b1, g2, b2, w1, bf1, c, scale, dt):
 
 def use_fast_path(dtype) -> bool:
     """Packed clamped-softmax path for bf16; precise path for f32 (and
-    when RDST_TPU_PALLAS_PRECISE=1)."""
+    when RDST_TPU_PALLAS_PRECISE=1).
+
+    The env var is read at TRACE time: toggling it after a shape has
+    been traced is ignored by the jit cache — call
+    fused_swin_block.clear_cache() (tests do) when flipping it in one
+    process."""
     import os
 
     if os.environ.get("RDST_TPU_PALLAS_PRECISE", "0") == "1":
@@ -368,8 +373,12 @@ def fused_block_fits(nw: int, n: int, c: int, nh: int, hidden: int,
     """True when the kernel can run this image geometry: either a whole
     image's windows fit the VMEM budget, or (fast path) some window
     chunk t | nW does — the grid then steps over chunks and each carries
-    its own bias slice. Callers fall back to XLA otherwise."""
-    fast = es == 2
+    its own bias slice. Callers fall back to XLA otherwise.
+
+    Must agree with use_fast_path (RDST_TPU_PALLAS_PRECISE forces the
+    precise path even for bf16) or the gate would admit geometries the
+    wrapper then rejects."""
+    fast = es == 2 and use_fast_path(jnp.bfloat16)
     if _vmem_estimate(nw, n, c, nh, hidden, nw, es, fast) <= _VMEM_BUDGET:
         return True
     if not fast:
@@ -397,7 +406,7 @@ def fused_pair_fits(nw: int, n: int, c: int, nh: int, hidden: int,
                     es: int) -> bool:
     """True when a whole image's DSTL pair fits the VMEM budget (bf16
     fast path only; callers fall back to per-block kernels)."""
-    if es != 2:
+    if es != 2 or not use_fast_path(jnp.bfloat16):
         return False
     return _pair_vmem_estimate(nw, n, c, nh, hidden, nw, es) <= _VMEM_BUDGET
 
@@ -442,7 +451,12 @@ def fused_swin_block(x_windows, wqkv, bqkv, wproj, bproj,
     # the nseg=2 segment form. Zero extra glue: XLA fuses the pack/unpack
     # permutations into the partition/reverse copies around the kernel.
     if pack != 1 and not (fast and pack == 2 and nw % 2 == 0
-                          and bnw % 2 == 0):
+                          and bnw % 2 == 0
+                          and any(
+                              _vmem_estimate(d, n, 2 * c, 2 * nh,
+                                             2 * w1.shape[1], d, es, True)
+                              <= _VMEM_BUDGET
+                              for d in _divisors_desc(nw // 2))):
         pack = 1
     if pack == 2:
         x_windows = (x_windows.reshape(bnw // 2, 2, n, c)
@@ -495,7 +509,10 @@ def fused_swin_block(x_windows, wqkv, bqkv, wproj, bproj,
         # the modular BlockSpec index map. Fast path only (the precise
         # head-major bias stack is not chunk-contiguous).
         assert fast, "chunked fused_swin_block requires the bf16 fast path"
-        t = next(d for d in _divisors_desc(nw) if fits(d, min(bw, d)))
+        t = next((d for d in _divisors_desc(nw) if fits(d, min(bw, d))), None)
+        if t is None:  # pragma: no cover - the fits gates pre-screen this
+            raise ValueError(
+                f"no window chunk of nW={nw} fits VMEM at C={c}, nH={nh}")
         tile = min(bw, t)  # t when per-window bias, 1 when shared
         nblk = nw // t if tile > 1 else 1
     hd = c // nh

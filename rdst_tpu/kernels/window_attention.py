@@ -14,11 +14,10 @@ through the BlockSpec index_map (windows repeat per image).
 Gating + measurements (v5e-lite, RDST-E1, OASIS x4, bf16, 128-slice
 volumes): XLA fusion 669 slices/s; attention-only kernel
 (RDST_TPU_PALLAS=1) 377; fused qkv+attn+proj block kernel
-(RDST_TPU_PALLAS=block) 503. The model is HBM-bound (~1.3 GB/slice
-traffic) and the kernels do cut traffic, but per-head hd=10..25 matmuls
-serialize poorly against XLA's giant batched GEMMs, so the kernels stay
-OFF by default at these shapes. They win when window/head dims grow —
-re-measure per config.
+(RDST_TPU_PALLAS=block) 503. Per-head hd=10..25 matmuls serialize
+poorly against XLA's giant batched GEMMs, so THESE two round-1 kernels
+stay opt-in; the production default is the whole-block DSTL-pair kernel
+in kernels/swin_block.py (2475 slices/s — see pallas_mode below).
 """
 
 from __future__ import annotations
@@ -101,9 +100,6 @@ def reference_window_attention(q, k, v, bias):
     return attn @ v
 
 
-USE_PALLAS_ATTENTION = os.environ.get("RDST_TPU_PALLAS", "0") == "1"
-
-
 def pallas_mode():
     """'pair' (default: DSTL-pair fused kernel incl. the in-VMEM shift
     relayout — measured 2475 slices/s vs swin 2178 / XLA 669 at RDST-E1
@@ -118,8 +114,6 @@ def pallas_mode():
     mode = os.environ.get("RDST_TPU_PALLAS", "")
     if mode in ("0", "false", "off"):
         return ""
-    if mode in ("", "1") and USE_PALLAS_ATTENTION:
-        return "1"
     return mode or "pair"
 
 

@@ -177,7 +177,7 @@ class WindowAttention(nn.Module):
 
         mode = wa.pallas_mode()
         use_pallas = (
-            mode in ("1", "block")
+            mode in ("1", "block") and deterministic
             and self.attn_drop == 0.0 and self.proj_drop == 0.0
             and self.qk_scale is None and jax.default_backend() == "tpu"
         )
