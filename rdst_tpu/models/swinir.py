@@ -110,7 +110,10 @@ class SwinIR(nn.Module):
                                  (1, tokens.shape[1], self.embed_dim))
                 tokens = tokens + ape
             tokens = nn.Dropout(self.drop_rate)(tokens, deterministic=deterministic)
-            dpr = list(jnp.linspace(0, self.drop_path_rate, sum(self.depths)))
+            # static schedule: np (not jnp) so float(d) works under jit
+            import numpy as np
+
+            dpr = list(np.linspace(0, self.drop_path_rate, sum(self.depths)))
             for i, depth in enumerate(self.depths):
                 start = sum(self.depths[:i])
                 tokens = RSTB(

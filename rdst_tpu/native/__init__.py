@@ -26,12 +26,14 @@ _SRC = os.path.join(_DIR, "image_ops.cpp")
 _LIB = os.path.join(_DIR, "libimage_ops.so")
 
 _lib = None
+_failed = False  # a failed build is cached: never re-spawn g++ per call
 
 
 def _build() -> bool:
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _LIB],
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC,
+             "-o", _LIB],
             check=True, capture_output=True, timeout=120)
         return True
     except Exception as e:  # pragma: no cover - toolchain-dependent
@@ -42,14 +44,15 @@ def _build() -> bool:
 
 def load():
     """Load (building if needed) the native library; None if unavailable."""
-    global _lib
+    global _lib, _failed
     if _lib is not None:
         return _lib
-    if os.environ.get("RDST_TPU_NATIVE", "") == "0":
+    if _failed or os.environ.get("RDST_TPU_NATIVE", "") == "0":
         return None
     if not os.path.exists(_LIB) or (
             os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
         if not _build():
+            _failed = True
             return None
     lib = ctypes.CDLL(_LIB)
     f32p = ctypes.POINTER(ctypes.c_float)
@@ -81,6 +84,9 @@ def _ptr(a: np.ndarray):
 def resize_bicubic(img: np.ndarray, size) -> np.ndarray:
     """cv2.INTER_CUBIC-parity bicubic resize (float32, HW or HWC)."""
     lib = load()
+    if lib is None:
+        raise RuntimeError("native backend unavailable (build failed or "
+                           "RDST_TPU_NATIVE=0); use rdst_tpu.data.ops")
     src, squeeze = _as_hwc_f32(img)
     h, w, c = src.shape
     dh, dw = int(size[0]), int(size[1])
@@ -91,6 +97,9 @@ def resize_bicubic(img: np.ndarray, size) -> np.ndarray:
 
 def _unary(name: str, img: np.ndarray, swap: bool) -> np.ndarray:
     lib = load()
+    if lib is None:
+        raise RuntimeError("native backend unavailable (build failed or "
+                           "RDST_TPU_NATIVE=0); use rdst_tpu.data.ops")
     src, squeeze = _as_hwc_f32(img)
     h, w, c = src.shape
     dst = np.empty((w, h, c) if swap else (h, w, c), np.float32)
@@ -109,13 +118,3 @@ def flipud(img):
 def fliplr(img):
     return _unary("rdst_fliplr_f32", img, swap=False)
 
-
-def dihedral(img: np.ndarray, k: int) -> np.ndarray:
-    """The 8 dihedral transforms: k&4 -> transpose first, then k&3
-    quarter-turns (rot90 = transpose + flipud composition)."""
-    out = img
-    if k & 4:
-        out = transpose(out)
-    for _ in range(k & 3):
-        out = flipud(transpose(out))
-    return out

@@ -7,8 +7,10 @@ tools are jax.profiler traces plus throughput counters:
   /Perfetto traces of the jitted steps;
 * ``Throughput``: slices/sec & steps/sec accumulator (the BASELINE
   north-star counter), tunnel-safe (reads device scalars only on report);
-* ``time_fn``: median-of-k timing of a jitted callable with
-  block_until_ready fencing.
+* ``time_fn``: median-of-k timing of a jitted callable, fenced with a
+  jax.device_get of the result (block_until_ready does NOT fence on the
+  axon dev tunnel — see CLAUDE.md; for chip-rate numbers prefer a
+  single-dispatch in-graph fori_loop sweep like bench.py's).
 """
 
 from __future__ import annotations
@@ -33,7 +35,7 @@ class Throughput:
     """slices/sec & steps/sec counter with warmup exclusion."""
 
     def __init__(self, warmup_steps: int = 1):
-        self.warmup_steps = warmup_steps
+        self.warmup_steps = max(1, warmup_steps)  # 0 would never start the clock
         self.steps = 0
         self.items = 0
         self._t0 = None
@@ -60,14 +62,18 @@ class Throughput:
 
 
 def time_fn(fn: Callable, *args, iters: int = 10, warmup: int = 2) -> float:
-    """Median wall time of a jitted fn (seconds), fenced per call."""
+    """Median wall time of a jitted fn (seconds), fenced per call.
+
+    Fences with jax.device_get (block_until_ready does not fence through
+    the axon dev tunnel). Per-call timings still include the dispatch
+    RPC there — use an in-graph fori_loop sweep for chip-rate numbers.
+    """
     import jax
 
     times = []
     for i in range(warmup + iters):
         t0 = time.time()
-        out = fn(*args)
-        jax.block_until_ready(out)
+        jax.device_get(fn(*args))
         if i >= warmup:
             times.append(time.time() - t0)
     times.sort()
