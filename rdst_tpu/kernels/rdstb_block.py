@@ -1,0 +1,281 @@
+"""Fused RDSTB mega-kernel (Pallas TPU): one program runs a whole
+Residual Dense Swin Transformer Block.
+
+A RDSTB (models/rdst.py, reference swinIR_variations.py:129-220) is
+``num_blocks`` DSTLs — each a Swin block pair (shift 0 / ws/2) plus a
+tail adapter (Dense C->growth + LN) and a dense channel concat — then a
+3x3 conv bottleneck back to embed_dim and a residual. In 'pair' mode
+XLA still materializes, per DSTL: the concat, the adapter tensors, and
+the partition/reverse copies around each pair, plus HBM round-trips
+between pairs and the bottleneck conv's input.
+
+This kernel (RDST_TPU_PALLAS=rdstb) keeps the ENTIRE block in VMEM:
+
+* entry: image-major tokens (ipp·H·W, C) are window-partitioned in VMEM
+  (`_image_to_windows`) — no XLA partition copy at all;
+* each DSTL runs the two `_body` blocks with the in-VMEM shift relayout
+  between them and the inverse relayout after, so every DSTL input is
+  back in unshifted window layout for the row-wise adapter + concat;
+* dense concats are VMEM copies; adapters are one (C, g) matmul + an
+  affine LN over g=30 lanes;
+* the bottleneck conv runs as 9 shifted (M, C_cat)·(C_cat, C) matmuls
+  over the zero-padded image layout (`_windows_to_image` first), and
+  the residual adds the image-major input directly.
+
+Only the (M, C) block input/output touches HBM. Fast path (bf16) only —
+weights arrive pre-folded like `fused_swin_pair`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from rdst_tpu.kernels.swin_block import (
+    _VMEM_BUDGET,
+    _body,
+    _fold_fast_weights,
+    _head_mask,
+    _image_to_windows,
+    _layernorm,
+    _seg_ones,
+    _shift_relayout,
+    _unshift_relayout,
+    _vmem_estimate,
+    _windows_to_image,
+    use_fast_path,
+)
+
+try:  # TPU-only namespace; interpret mode works everywhere
+    from jax.experimental.pallas import tpu as pltpu
+except ImportError:  # pragma: no cover
+    pltpu = None
+
+# refs per DSTL: 2 blocks x (wqkv bqkv wproj bproj w1 bf1 w2 bf2)
+# + bias_a + bias_b + adapter (wa ba ga bba) + hmask + segones
+_PER_BLOCK = 8
+_PER_DSTL = 2 * _PER_BLOCK + 2 + 4 + 2
+
+
+def _conv3x3(img, wc_ref, bc_ref, cin, cout):
+    """SAME zero-padded 3x3 conv as 9 shifted matmuls, in VMEM.
+
+    img: (ipp, H, W, Cin) f32 value; wc: (9·Cin, Cout) with tap-major
+    rows (dy, dx, cin); bc: (1, Cout)."""
+    ipp, h, w, _ = img.shape
+    m = ipp * h * w
+    acc = jnp.zeros((m, cout), jnp.float32)
+    zrow = jnp.zeros((ipp, 1, w, cin), img.dtype)
+    zcol = jnp.zeros((ipp, h, 1, cin), img.dtype)
+    for dy in (-1, 0, 1):
+        if dy == -1:  # output row y reads input row y-1
+            sh = jnp.concatenate([zrow, img[:, :-1]], axis=1)
+        elif dy == 1:
+            sh = jnp.concatenate([img[:, 1:], zrow], axis=1)
+        else:
+            sh = img
+        for dx in (-1, 0, 1):
+            if dx == -1:
+                sv = jnp.concatenate([zcol, sh[:, :, :-1]], axis=2)
+            elif dx == 1:
+                sv = jnp.concatenate([sh[:, :, 1:], zcol], axis=2)
+            else:
+                sv = sh
+            tap = (dy + 1) * 3 + (dx + 1)
+            acc = acc + jnp.dot(
+                sv.reshape(m, cin),
+                wc_ref[tap * cin:(tap + 1) * cin, :],
+                preferred_element_type=jnp.float32)
+    return acc + bc_ref[...].astype(jnp.float32)
+
+
+def _rdstb_kernel(geom, c0, growth, nh, nb, x_ref, *refs):
+    """geom = (ipp, nwh, nww, ws, shift). refs laid out per _PER_DSTL,
+    then conv kernel/bias; the output ref is last."""
+    ipp, nwh, nww, ws, shift = geom
+    nw = nwh * nww
+    n = ws * ws
+    t = ipp * nw
+    o_ref = refs[-1]
+    refs = refs[:-1]
+    cdt = x_ref.dtype
+
+    x0 = x_ref[0]  # (ipp·H·W, C0) image-major tokens
+    xw = _image_to_windows(
+        x0.reshape(ipp, nwh * ws, nww * ws, c0), ipp, nwh, nww, ws)
+
+    feats = [xw]  # dense features, window layout, cdt
+    c = c0
+    for d in range(nb):
+        base = d * _PER_DSTL
+        (wqkv_a, bqkv_a, wproj_a, bproj_a, w1_a, bf1_a, w2_a, bf2_a,
+         wqkv_b, bqkv_b, wproj_b, bproj_b, w1_b, bf1_b, w2_b, bf2_b,
+         bias_a, bias_b, wad, bad, gad, bbad, hmask, segones) = refs[
+            base:base + _PER_DSTL]
+
+        xin = feats[0] if len(feats) == 1 else jnp.concatenate(feats, axis=-1)
+        scale = (c // nh) ** -0.5
+        y = _body(xin.astype(jnp.float32), cdt, nh, scale, t, n, c, True, 1,
+                  wqkv_a, bqkv_a, wproj_a, bproj_a,
+                  bqkv_a, bqkv_a, bqkv_a, bqkv_a,  # LN affines pre-folded
+                  w1_a, bf1_a, w2_a, bf2_a, bias_a, hmask, segones)
+        y = _shift_relayout(y.astype(cdt), ipp, nwh, nww, ws, shift)
+        y = _body(y.astype(jnp.float32), cdt, nh, scale, t, n, c, True,
+                  nw if shift else 1,
+                  wqkv_b, bqkv_b, wproj_b, bproj_b,
+                  bqkv_b, bqkv_b, bqkv_b, bqkv_b,
+                  w1_b, bf1_b, w2_b, bf2_b, bias_b, hmask, segones)
+        y = _unshift_relayout(y.astype(cdt), ipp, nwh, nww, ws, shift)
+        # tail adapter: Dense(C -> growth) then LN (post-norm), row-wise
+        a = jnp.dot(y, wad[...], preferred_element_type=jnp.float32)
+        a = a + bad[...].astype(jnp.float32)
+        a = _layernorm(a, gad[...].astype(jnp.float32),
+                       bbad[...].astype(jnp.float32))
+        feats.append(a.astype(cdt))
+        c += growth
+
+    wc_ref, bc_ref = refs[nb * _PER_DSTL:nb * _PER_DSTL + 2]
+    cat = jnp.concatenate(feats, axis=-1)  # (T·N, C0 + nb·g)
+    img = _windows_to_image(cat, ipp, nwh, nww, ws)
+    out = _conv3x3(img, wc_ref, bc_ref, c, c0)
+    o_ref[0] = (out + x0.astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _rdstb_vmem_estimate(t, n, c0, growth, nb, nh, hidden_ratio, es) -> float:
+    """Peak ~ the widest DSTL's pair estimate + the live dense features
+    + concat/conv buffers (rough; calibrate on hardware)."""
+    def pad(v):
+        return -(-v // 128) * 128
+
+    cmax = c0 + growth * (nb - 1)
+    ccat = c0 + growth * nb
+    widest = _vmem_estimate(t, n, cmax, nh, int(cmax * hidden_ratio),
+                            t // 1, es, fast=True)
+    feats = t * n * (pad(c0) + nb * pad(growth)) * es
+    cat = 2 * t * n * pad(ccat) * es  # concat + conv img relayout
+    conv_acc = t * n * pad(c0) * 4
+    weights2 = sum(
+        (3 * ci * pad(ci) + ci * pad(ci)
+         + 2 * ci * pad(int(ci * hidden_ratio))) * es
+        for ci in (c0 + growth * i for i in range(nb)))
+    return widest + 0.48 * weights2 + feats + cat + conv_acc
+
+
+def fused_rdstb_fits(nw: int, n: int, c0: int, growth: int, nb: int,
+                     nh: int, hidden_ratio: float, es: int) -> bool:
+    if es != 2 or not use_fast_path(jnp.bfloat16):
+        return False
+    return _rdstb_vmem_estimate(nw, n, c0, growth, nb, nh, hidden_ratio,
+                                es) <= _VMEM_BUDGET
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "x_size", "window_size", "shift",
+                     "growth", "images_per_program", "interpret"))
+def fused_rdstb(x_tokens, dstls, conv_kernel, conv_bias, *,
+                num_heads: int, x_size, window_size: int, shift: int,
+                growth: int, images_per_program: int = 2,
+                interpret: bool = False):
+    """One whole RDSTB per Pallas program.
+
+    x_tokens: (B, H·W, C0) image-major tokens (the RDSTB boundary
+    layout — no XLA window partition anywhere).
+    dstls: per DSTL a dict with
+        'blocks': [(params12, bias), (params12, bias)]  (SwinTransformer
+                  block bundles, block 0 unshifted / block 1 shifted),
+        'adapter': (wa, ba, gamma, beta)   Dense(C->growth) + LN.
+    conv_kernel: (3, 3, C_cat, C0) HWIO; conv_bias: (C0,).
+    Returns (B, H·W, C0). bf16 fast path only.
+    """
+    b, l, c0 = x_tokens.shape
+    h, w = x_size
+    ws = window_size
+    nwh, nww = h // ws, w // ws
+    nw = nwh * nww
+    n = ws * ws
+    nh = num_heads
+    nb = len(dstls)
+    dt = x_tokens.dtype
+    es = jnp.dtype(dt).itemsize
+    assert use_fast_path(dt), "fused_rdstb is fast-path (bf16) only"
+
+    hidden0 = dstls[0]["blocks"][0][0][8].shape[1]
+    hidden_ratio = hidden0 / c0
+    ipp = images_per_program
+    while ipp > 1 and (b % ipp != 0 or _rdstb_vmem_estimate(
+            nw * ipp, n, c0, growth, nb, nh, hidden_ratio,
+            es) > _VMEM_BUDGET):
+        ipp -= 1
+    t = nw * ipp
+    grid = (b // ipp,)
+
+    def prep(params, c):
+        wqkv, bqkv, wproj, bproj, g1, b1, g2, b2, w1, bf1, w2, bf2 = params
+        if bqkv is None:
+            bqkv = jnp.zeros((3 * c,), wqkv.dtype)
+        wqkv, bqkv, w1, bf1 = (a.astype(dt) for a in (wqkv, bqkv, w1, bf1))
+        scale = (c // nh) ** -0.5
+        wqkv, bqkv, w1, bf1 = _fold_fast_weights(
+            wqkv, bqkv, g1, b1, g2, b2, w1, bf1, c, scale, dt)
+        hid = w1.shape[1]
+        return [wqkv.astype(dt), bqkv.reshape(1, 3 * c),
+                wproj.astype(dt), bproj.astype(dt).reshape(1, c),
+                w1.astype(dt), bf1.reshape(1, hid),
+                w2.astype(dt), bf2.astype(dt).reshape(1, c)]
+
+    def pack_bias(bias):
+        bwin = bias.shape[0] // nh
+        out = bias.reshape(nh, bwin, n, n).transpose(1, 2, 0, 3)
+        return out.reshape(bwin, n, nh * n).astype(dt)
+
+    vm = {} if (pltpu is None or interpret) else {"memory_space": pltpu.VMEM}
+
+    def const(*shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda i, _nd=nd: (0,) * _nd, **vm)
+
+    operands, specs = [], []
+
+    def add(arr):
+        operands.append(arr)
+        specs.append(const(*arr.shape))
+
+    c = c0
+    for d in dstls:
+        (pa, bias_a), (pb, bias_b) = d["blocks"]
+        for arr in prep(pa, c) + prep(pb, c):
+            add(arr)
+        add(pack_bias(bias_a))
+        add(pack_bias(bias_b))
+        wa, ba, ga, bba = d["adapter"]
+        add(wa.astype(dt))
+        add(ba.astype(dt).reshape(1, growth))
+        add(ga.astype(jnp.float32).reshape(1, growth))
+        add(bba.astype(jnp.float32).reshape(1, growth))
+        add(_head_mask(nh, c, dt))
+        add(_seg_ones(nh, n, dt))
+        c += growth
+
+    # conv kernel -> tap-major (9·C_cat, C0) rows (dy, dx, cin)
+    ccat = conv_kernel.shape[2]
+    wc = conv_kernel.astype(dt).reshape(9 * ccat, c0)
+    add(wc)
+    add(conv_bias.astype(jnp.float32).reshape(1, c0))
+
+    geom = (ipp, nwh, nww, ws, shift)
+    kernel = functools.partial(_rdstb_kernel, geom, c0, growth, nh, nb)
+    xg = x_tokens.reshape(b // ipp, ipp * l, c0)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, ipp * l, c0), lambda i: (i, 0, 0), **vm)]
+        + specs,
+        out_specs=pl.BlockSpec((1, ipp * l, c0), lambda i: (i, 0, 0), **vm),
+        out_shape=jax.ShapeDtypeStruct(xg.shape, dt),
+        interpret=interpret,
+    )(xg, *operands)
+    return out.reshape(b, l, c0)

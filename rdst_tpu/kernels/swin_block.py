@@ -285,22 +285,43 @@ def _block_kernel(nH, scale, T, N, C, fast, bw, nseg,
     o_ref[0] = out.astype(o_ref.dtype)
 
 
+def _windows_to_image(y, ipp, nwh, nww, ws):
+    """(ipp·nW·ws², C) window_partition order -> (ipp, H, W, C), in VMEM
+    (batch-dim transpose; the lane dim is never touched)."""
+    c = y.shape[-1]
+    y = y.reshape(ipp * nwh, nww, ws, ws, c)
+    return y.transpose(0, 2, 1, 3, 4).reshape(ipp, nwh * ws, nww * ws, c)
+
+
+def _image_to_windows(img, ipp, nwh, nww, ws):
+    """(ipp, H, W, C) -> (ipp·nW·ws², C) window_partition order."""
+    c = img.shape[-1]
+    y = img.reshape(ipp * nwh, ws, nww, ws, c).transpose(0, 2, 1, 3, 4)
+    return y.reshape(ipp * nwh * nww * ws * ws, c)
+
+
 def _shift_relayout(y, ipp, nwh, nww, ws, s):
-    """window layout -> shifted window layout, entirely in VMEM.
+    """window layout -> roll(-s,-s)'d window layout, entirely in VMEM.
 
     y: (ipp·nWh·nWw·ws², C) in window_partition order. Equivalent to
     window_reverse -> roll(-s, -s) -> window_partition, expressed as
     batch-dim transposes + static sublane/batch concats so Mosaic never
-    touches the lane dim."""
-    c = y.shape[-1]
-    h, w = nwh * ws, nww * ws
-    y = y.reshape(ipp * nwh, nww, ws, ws, c)
-    y = y.transpose(0, 2, 1, 3, 4).reshape(ipp, h, w, c)  # window reverse
+    touches the lane dim. Pass s = H-s' (square images) to invert a
+    forward shift s'."""
+    y = _windows_to_image(y, ipp, nwh, nww, ws)
     if s:
         y = jnp.concatenate([y[:, s:], y[:, :s]], axis=1)  # roll -s (H)
         y = jnp.concatenate([y[:, :, s:], y[:, :, :s]], axis=2)  # roll -s (W)
-    y = y.reshape(ipp * nwh, ws, nww, ws, c).transpose(0, 2, 1, 3, 4)
-    return y.reshape(ipp * nwh * nww * ws * ws, c)
+    return _image_to_windows(y, ipp, nwh, nww, ws)
+
+
+def _unshift_relayout(y, ipp, nwh, nww, ws, s):
+    """Inverse of _shift_relayout: roll(+s, +s) between the layouts."""
+    y = _windows_to_image(y, ipp, nwh, nww, ws)
+    if s:
+        y = jnp.concatenate([y[:, -s:], y[:, :-s]], axis=1)  # roll +s (H)
+        y = jnp.concatenate([y[:, :, -s:], y[:, :, :-s]], axis=2)
+    return _image_to_windows(y, ipp, nwh, nww, ws)
 
 
 def _pair_kernel(nH, scale, T, N, C, nW, fast, geom,

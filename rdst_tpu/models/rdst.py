@@ -61,6 +61,31 @@ def pad_to_window_multiple(x: jax.Array, multiple: int) -> Tuple[jax.Array, Tupl
     return x, (h, w)
 
 
+class _RawConvParams(nn.Module):
+    """Declares kernel/bias at nn.Conv's leaf paths."""
+
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        from rdst_tpu.nn.common import torch_conv_init
+
+        k = self.param("kernel", torch_conv_init, self.shape)
+        b = self.param("bias", nn.initializers.zeros, (self.shape[-1],))
+        return k, b
+
+
+class _ConvParams(nn.Module):
+    """Declares the same two-level tree as common.Conv (conv/kernel,
+    conv/bias) without computing — for caller-side fused kernels."""
+
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        return _RawConvParams(self.shape, name="conv")()
+
+
 class DenseSTLayer(nn.Module):
     """DSTL (swinIR_variations.py:21-116): Swin pair + dense concat."""
 
@@ -83,13 +108,36 @@ class DenseSTLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, x_size, deterministic: bool = True):
+    def __call__(self, x, x_size, deterministic: bool = True,
+                 params_only: bool = False):
         assert self.growth_rate % self.num_heads == 0
         assert self.input_dim % self.num_heads == 0
         shortcut = x
 
         hidden_dim = self.growth_rate if self.dim_modify_mode == "head" else self.input_dim
         need_adapter = self.input_dim != self.growth_rate
+
+        if params_only:
+            # fused-RDSTB bundle: block kernel inputs + the tail adapter's
+            # raw params (declares the identical tree to computing)
+            from rdst_tpu.nn.swin import _LayerNormParams, _LinearParams
+
+            blocks = BasicLayer(
+                dim=hidden_dim, depth=self.depth, num_heads=self.num_heads,
+                window_size=self.window_size, mlp_ratio=self.mlp_ratio,
+                qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
+                drop=self.drop, attn_drop=self.attn_drop,
+                drop_path=(self.drop_path,) * self.depth,
+                build_resolution=self.build_resolution,
+                layer_norm=self.layer_norm,
+                dtype=self.dtype, name="body",
+            )(None, x_size, params_only=True)
+            assert self.dim_modify_mode == "tail" and need_adapter \
+                and not self.pre_norm, "fused RDSTB: tail post-norm adapters"
+            wa_, ba_ = _LinearParams(hidden_dim, self.growth_rate, True,
+                                     name="tail_0")()
+            ga_, bba_ = _LayerNormParams(self.growth_rate, name="tail_1")()
+            return {"blocks": blocks, "adapter": (wa_, ba_, ga_, bba_)}
 
         def adapter(y, in_dim, out_dim, name):
             # nn.Sequential([norm, linear]) if pre_norm else [linear, norm]
@@ -151,8 +199,82 @@ class RDSTB(nn.Module):
     layer_norm: bool = True
     dtype: jnp.dtype = jnp.float32
 
+    def _use_fused_rdstb(self, x, x_size) -> bool:
+        import jax as _jax
+
+        from rdst_tpu.kernels import window_attention as wa
+        from rdst_tpu.kernels.rdstb_block import fused_rdstb_fits
+        from rdst_tpu.kernels.swin_block import use_fast_path
+        from rdst_tpu.nn.swin import resolve_ws_shift
+
+        h, w = x_size
+        ws, _ = resolve_ws_shift(self.build_resolution or (h, w), h, w,
+                                 self.window_size, self.window_size // 2)
+        return (
+            wa.pallas_mode() == "rdstb"
+            and use_fast_path(self.dtype)
+            and self.layer_depth == 2 and self.layer_norm
+            and self.resi_connection == "1conv"
+            and self.dim_modify_mode == "tail" and not self.pre_norm
+            and self.qk_scale is None
+            and self.dense_scale == 1.0 and self.residual_scale == 1.0
+            and self.input_dim != self.growth_rate
+            and self.input_dim % self.num_heads == 0
+            and all((self.input_dim + i * self.growth_rate)
+                    % self.num_heads == 0
+                    for i in range(int(self.num_blocks)))
+            and h % ws == 0 and w % ws == 0
+            and fused_rdstb_fits(
+                (h // ws) * (w // ws), ws * ws, self.input_dim,
+                self.growth_rate, int(self.num_blocks), self.num_heads,
+                self.mlp_ratio, jnp.dtype(self.dtype).itemsize)
+            and (_jax.default_backend() == "tpu" or wa.pallas_interpret())
+        )
+
+    def _fused_rdstb(self, x, x_size):
+        """Whole-RDSTB Pallas path: declares the identical param tree
+        (DSTL blocks + adapters + bottleneck conv) and runs
+        kernels/rdstb_block.fused_rdstb on image-major tokens."""
+        import os
+
+        from rdst_tpu.kernels import window_attention as wa
+        from rdst_tpu.kernels.rdstb_block import fused_rdstb
+        from rdst_tpu.nn.swin import resolve_ws_shift
+
+        h, w = x_size
+        ws, shift = resolve_ws_shift(self.build_resolution or (h, w), h, w,
+                                     self.window_size, self.window_size // 2)
+        dstls = []
+        idim = self.input_dim
+        for i in range(int(self.num_blocks)):
+            dstls.append(DenseSTLayer(
+                input_dim=idim, growth_rate=self.growth_rate,
+                depth=self.layer_depth, num_heads=self.num_heads,
+                window_size=self.window_size, mlp_ratio=self.mlp_ratio,
+                qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
+                drop=self.drop, attn_drop=self.attn_drop,
+                drop_path=self.drop_path,
+                dense_scale=self.dense_scale,
+                dim_modify_mode=self.dim_modify_mode,
+                pre_norm=self.pre_norm,
+                build_resolution=self.build_resolution,
+                layer_norm=self.layer_norm,
+                dtype=self.dtype, name=f"body_{i}",
+            )(None, x_size, params_only=True))
+            idim += self.growth_rate
+        wc, bc = _ConvParams((3, 3, idim, self.input_dim), name="conv")()
+
+        ipp = int(os.environ.get("RDST_TPU_PALLAS_IPP", "2"))
+        return fused_rdstb(
+            x.astype(self.dtype), dstls, wc, bc,
+            num_heads=self.num_heads, x_size=(h, w), window_size=ws,
+            shift=shift, growth=self.growth_rate, images_per_program=ipp,
+            interpret=wa.pallas_interpret())
+
     @nn.compact
     def __call__(self, x, x_size, deterministic: bool = True):
+        if deterministic and self._use_fused_rdstb(x, x_size):
+            return self._fused_rdstb(x, x_size)
         shortcut = x
         idim = self.input_dim
         for i in range(int(self.num_blocks)):

@@ -419,8 +419,13 @@ class BasicLayer(nn.Module):
         )
 
     @nn.compact
-    def __call__(self, x, x_size, deterministic: bool = True):
+    def __call__(self, x, x_size, deterministic: bool = True,
+                 params_only: bool = False):
         h, w = x_size
+        if params_only:
+            # kernel-input bundles for every block (the fused-RDSTB path)
+            return [self._block(i)(None, x_size, params_only=True)
+                    for i in range(self.depth)]
         c = x.shape[-1]
         from rdst_tpu.kernels import window_attention as wa
         from rdst_tpu.kernels.swin_block import fused_pair_fits, use_fast_path

@@ -243,6 +243,88 @@ class TestWindowPacking:
         assert np.abs(got - want).max() < 1e-5
 
 
+class TestFusedRDSTB:
+    """Whole-RDSTB mega-kernel (kernels/rdstb_block.py)."""
+
+    def _mk(self, dtype, h=16, w=24):
+        import jax.numpy as jnp
+
+        from rdst_tpu.models.rdst import RDSTB
+
+        return RDSTB(input_dim=12, layer_depth=2, num_heads=3,
+                     window_size=8, mlp_ratio=2.0, growth_rate=6,
+                     num_blocks=3, build_resolution=(h, w), dtype=dtype)
+
+    def test_matches_pair_mode_and_f32(self, rng, monkeypatch):
+        import jax
+        import jax.numpy as jnp
+
+        h, w, c0 = 16, 24, 12
+        xf = jnp.asarray(rng.normal(0, 0.5, (2, h * w, c0)), jnp.float32)
+        monkeypatch.setenv("RDST_TPU_PALLAS", "0")
+        blk32 = self._mk(jnp.float32)
+        params = blk32.init(jax.random.PRNGKey(0), xf, (h, w))
+        ref32 = np.asarray(blk32.apply(params, xf, (h, w)))
+
+        blk16 = self._mk(jnp.bfloat16)
+        x16 = xf.astype(jnp.bfloat16)
+        monkeypatch.setenv("RDST_TPU_PALLAS_INTERPRET", "1")
+        monkeypatch.setenv("RDST_TPU_PALLAS", "pair")
+        base = np.asarray(blk16.apply(params, x16, (h, w)), np.float32)
+        monkeypatch.setenv("RDST_TPU_PALLAS", "rdstb")
+        p2 = blk16.init(jax.random.PRNGKey(0), x16, (h, w))
+        assert (jax.tree_util.tree_structure(params)
+                == jax.tree_util.tree_structure(p2))
+        got = np.asarray(blk16.apply(params, x16, (h, w)), np.float32)
+
+        denom = np.abs(ref32).max()
+        # same fast-path math as pair mode up to where intermediates
+        # round (adapters run f32 in-kernel) — bf16-noise agreement
+        assert np.abs(got - base).max() / denom < 0.02
+        # and no systematic error vs the f32 reference
+        assert np.abs(got - ref32).max() / denom < 0.05
+        assert np.abs(got - ref32).mean() / denom < 0.005
+
+    def test_full_rdst_model_rdstb_mode(self, rng, monkeypatch):
+        """Whole RDSTSR forward dispatches the mega-kernel per RDSTB."""
+        import jax
+        import jax.numpy as jnp
+
+        from rdst_tpu.models.rdst import RDSTSR
+
+        model = RDSTSR(in_chans=1, sr_scale=2, embed_dim=12,
+                       dense_layer_depths=(2, 2), num_heads=(3, 3),
+                       window_size=(8, 8), rdb_depths=(2, 2), mlp_ratio=2.0,
+                       growth_rate=6, build_resolution=(16, 16),
+                       dtype=jnp.bfloat16)
+        x = jnp.asarray(rng.normal(0, 0.3, (1, 16, 16, 1)), jnp.bfloat16)
+        monkeypatch.setenv("RDST_TPU_PALLAS_INTERPRET", "1")
+        monkeypatch.setenv("RDST_TPU_PALLAS", "pair")
+        params = model.init(jax.random.PRNGKey(0), x)
+        ref = np.asarray(model.apply(params, x), np.float32)
+        monkeypatch.setenv("RDST_TPU_PALLAS", "rdstb")
+        got = np.asarray(model.apply(params, x), np.float32)
+        denom = np.abs(ref).max()
+        assert np.abs(got - ref).max() / denom < 0.02
+
+    def test_conv3x3_matches_xla(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from rdst_tpu.kernels.rdstb_block import _conv3x3
+
+        ipp, h, w, cin, cout = 2, 8, 12, 10, 6
+        img = jnp.asarray(rng.normal(0, 1, (ipp, h, w, cin)), jnp.float32)
+        k = jnp.asarray(rng.normal(0, 0.2, (3, 3, cin, cout)), jnp.float32)
+        b = jnp.asarray(rng.normal(0, 0.1, (cout,)), jnp.float32)
+        want = jax.lax.conv_general_dilated(
+            img, k, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+        got = _conv3x3(img, k.reshape(9 * cin, cout), b.reshape(1, cout),
+                       cin, cout).reshape(ipp, h, w, cout)
+        assert np.abs(np.asarray(got) - np.asarray(want)).max() < 1e-4
+
+
 class TestFusedSwinPair:
     """DSTL-pair kernel: both blocks + the in-VMEM shift relayout."""
 
