@@ -41,6 +41,7 @@ from rdst_tpu.kernels.swin_block import (
     _head_mask,
     _image_to_windows,
     _layernorm,
+    _normalize,
     _seg_ones,
     _shift_relayout,
     _unshift_relayout,
@@ -92,7 +93,7 @@ def _conv3x3(img, wc_ref, bc_ref, cin, cout):
     return acc + bc_ref[...].astype(jnp.float32)
 
 
-def _rdstb_kernel(geom, c0, growth, nh, nb, x_ref, *refs):
+def _rdstb_kernel(geom, c0, growth, nh, nb, prenorm, x_ref, *refs):
     """geom = (ipp, nwh, nww, ws, shift). refs laid out per _PER_DSTL,
     then conv kernel/bias; the output ref is last."""
     ipp, nwh, nww, ws, shift = geom
@@ -129,11 +130,18 @@ def _rdstb_kernel(geom, c0, growth, nh, nb, x_ref, *refs):
                   bqkv_b, bqkv_b, bqkv_b, bqkv_b,
                   w1_b, bf1_b, w2_b, bf2_b, bias_b, hmask, segones)
         y = _unshift_relayout(y.astype(cdt), ipp, nwh, nww, ws, shift)
-        # tail adapter: Dense(C -> growth) then LN (post-norm), row-wise
-        a = jnp.dot(y, wad[...], preferred_element_type=jnp.float32)
-        a = a + bad[...].astype(jnp.float32)
-        a = _layernorm(a, gad[...].astype(jnp.float32),
-                       bbad[...].astype(jnp.float32))
+        if prenorm:
+            # LN(C) -> Dense: the LN affine arrives pre-folded into
+            # wad/bad (see fused_rdstb.prep_adapter) — normalize-only
+            yn = _normalize(y.astype(jnp.float32)).astype(cdt)
+            a = jnp.dot(yn, wad[...], preferred_element_type=jnp.float32)
+            a = a + bad[...].astype(jnp.float32)
+        else:
+            # Dense(C -> growth) then LN (post-norm), row-wise
+            a = jnp.dot(y, wad[...], preferred_element_type=jnp.float32)
+            a = a + bad[...].astype(jnp.float32)
+            a = _layernorm(a, gad[...].astype(jnp.float32),
+                           bbad[...].astype(jnp.float32))
         feats.append(a.astype(cdt))
         c += growth
 
@@ -175,11 +183,12 @@ def fused_rdstb_fits(nw: int, n: int, c0: int, growth: int, nb: int,
 @functools.partial(
     jax.jit,
     static_argnames=("num_heads", "x_size", "window_size", "shift",
-                     "growth", "images_per_program", "interpret"))
+                     "growth", "adapter_prenorm", "images_per_program",
+                     "interpret"))
 def fused_rdstb(x_tokens, dstls, conv_kernel, conv_bias, *,
                 num_heads: int, x_size, window_size: int, shift: int,
-                growth: int, images_per_program: int = 2,
-                interpret: bool = False):
+                growth: int, adapter_prenorm: bool = False,
+                images_per_program: int = 2, interpret: bool = False):
     """One whole RDSTB per Pallas program.
 
     x_tokens: (B, H·W, C0) image-major tokens (the RDSTB boundary
@@ -187,7 +196,9 @@ def fused_rdstb(x_tokens, dstls, conv_kernel, conv_bias, *,
     dstls: per DSTL a dict with
         'blocks': [(params12, bias), (params12, bias)]  (SwinTransformer
                   block bundles, block 0 unshifted / block 1 shifted),
-        'adapter': (wa, ba, gamma, beta)   Dense(C->growth) + LN.
+        'adapter': (wa, ba, gamma, beta) — Dense(C->growth) + LN
+                  (post-norm), or with adapter_prenorm=True the LN(C)
+                  affine + Dense (the affine folds into the Dense).
     conv_kernel: (3, 3, C_cat, C0) HWIO; conv_bias: (C0,).
     Returns (B, H·W, C0). bf16 fast path only.
     """
@@ -252,10 +263,22 @@ def fused_rdstb(x_tokens, dstls, conv_kernel, conv_bias, *,
         add(pack_bias(bias_a))
         add(pack_bias(bias_b))
         wa, ba, ga, bba = d["adapter"]
-        add(wa.astype(dt))
-        add(ba.astype(dt).reshape(1, growth))
-        add(ga.astype(jnp.float32).reshape(1, growth))
-        add(bba.astype(jnp.float32).reshape(1, growth))
+        if adapter_prenorm:
+            # fold the pre-LN affine into the Dense: (x̂·γ+β)W + b =
+            # x̂·(γ⊙W) + (βW + b); folded bias stays f32
+            f32 = jnp.float32
+            wa_f = ga.astype(f32)[:, None] * wa.astype(dt).astype(f32)
+            ba_f = bba.astype(f32) @ wa.astype(dt).astype(f32) \
+                + ba.astype(dt).astype(f32)
+            add(wa_f.astype(dt))
+            add(ba_f.reshape(1, growth))
+            add(ba_f.reshape(1, growth))  # unused slots (uniform layout)
+            add(ba_f.reshape(1, growth))
+        else:
+            add(wa.astype(dt))
+            add(ba.astype(dt).reshape(1, growth))
+            add(ga.astype(jnp.float32).reshape(1, growth))
+            add(bba.astype(jnp.float32).reshape(1, growth))
         add(_head_mask(nh, c, dt))
         add(_seg_ones(nh, n, dt))
         c += growth
@@ -267,7 +290,8 @@ def fused_rdstb(x_tokens, dstls, conv_kernel, conv_bias, *,
     add(conv_bias.astype(jnp.float32).reshape(1, c0))
 
     geom = (ipp, nwh, nww, ws, shift)
-    kernel = functools.partial(_rdstb_kernel, geom, c0, growth, nh, nb)
+    kernel = functools.partial(_rdstb_kernel, geom, c0, growth, nh, nb,
+                               adapter_prenorm)
     xg = x_tokens.reshape(b // ipp, ipp * l, c0)
     out = pl.pallas_call(
         kernel,

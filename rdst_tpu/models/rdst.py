@@ -132,11 +132,16 @@ class DenseSTLayer(nn.Module):
                 layer_norm=self.layer_norm,
                 dtype=self.dtype, name="body",
             )(None, x_size, params_only=True)
-            assert self.dim_modify_mode == "tail" and need_adapter \
-                and not self.pre_norm, "fused RDSTB: tail post-norm adapters"
-            wa_, ba_ = _LinearParams(hidden_dim, self.growth_rate, True,
-                                     name="tail_0")()
-            ga_, bba_ = _LayerNormParams(self.growth_rate, name="tail_1")()
+            assert self.dim_modify_mode == "tail" and need_adapter, \
+                "fused RDSTB needs tail adapters"
+            if self.pre_norm:  # LN(C) then Dense(C->growth)
+                ga_, bba_ = _LayerNormParams(hidden_dim, name="tail_0")()
+                wa_, ba_ = _LinearParams(hidden_dim, self.growth_rate, True,
+                                         name="tail_1")()
+            else:  # Dense(C->growth) then LN(growth)
+                wa_, ba_ = _LinearParams(hidden_dim, self.growth_rate, True,
+                                         name="tail_0")()
+                ga_, bba_ = _LayerNormParams(self.growth_rate, name="tail_1")()
             return {"blocks": blocks, "adapter": (wa_, ba_, ga_, bba_)}
 
         def adapter(y, in_dim, out_dim, name):
@@ -215,7 +220,7 @@ class RDSTB(nn.Module):
             and use_fast_path(self.dtype)
             and self.layer_depth == 2 and self.layer_norm
             and self.resi_connection == "1conv"
-            and self.dim_modify_mode == "tail" and not self.pre_norm
+            and self.dim_modify_mode == "tail"
             and self.qk_scale is None
             and self.dense_scale == 1.0 and self.residual_scale == 1.0
             and self.input_dim != self.growth_rate
@@ -268,7 +273,8 @@ class RDSTB(nn.Module):
         return fused_rdstb(
             x.astype(self.dtype), dstls, wc, bc,
             num_heads=self.num_heads, x_size=(h, w), window_size=ws,
-            shift=shift, growth=self.growth_rate, images_per_program=ipp,
+            shift=shift, growth=self.growth_rate,
+            adapter_prenorm=self.pre_norm, images_per_program=ipp,
             interpret=wa.pallas_interpret())
 
     @nn.compact

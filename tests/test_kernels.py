@@ -246,27 +246,29 @@ class TestWindowPacking:
 class TestFusedRDSTB:
     """Whole-RDSTB mega-kernel (kernels/rdstb_block.py)."""
 
-    def _mk(self, dtype, h=16, w=24):
+    def _mk(self, dtype, pre_norm=False, h=16, w=24):
         import jax.numpy as jnp
 
         from rdst_tpu.models.rdst import RDSTB
 
         return RDSTB(input_dim=12, layer_depth=2, num_heads=3,
                      window_size=8, mlp_ratio=2.0, growth_rate=6,
-                     num_blocks=3, build_resolution=(h, w), dtype=dtype)
+                     num_blocks=3, pre_norm=pre_norm,
+                     build_resolution=(h, w), dtype=dtype)
 
-    def test_matches_pair_mode_and_f32(self, rng, monkeypatch):
+    @pytest.mark.parametrize("pre_norm", [False, True])
+    def test_matches_pair_mode_and_f32(self, rng, monkeypatch, pre_norm):
         import jax
         import jax.numpy as jnp
 
         h, w, c0 = 16, 24, 12
         xf = jnp.asarray(rng.normal(0, 0.5, (2, h * w, c0)), jnp.float32)
         monkeypatch.setenv("RDST_TPU_PALLAS", "0")
-        blk32 = self._mk(jnp.float32)
+        blk32 = self._mk(jnp.float32, pre_norm)
         params = blk32.init(jax.random.PRNGKey(0), xf, (h, w))
         ref32 = np.asarray(blk32.apply(params, xf, (h, w)))
 
-        blk16 = self._mk(jnp.bfloat16)
+        blk16 = self._mk(jnp.bfloat16, pre_norm)
         x16 = xf.astype(jnp.bfloat16)
         monkeypatch.setenv("RDST_TPU_PALLAS_INTERPRET", "1")
         monkeypatch.setenv("RDST_TPU_PALLAS", "pair")
