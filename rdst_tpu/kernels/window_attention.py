@@ -101,12 +101,13 @@ def reference_window_attention(q, k, v, bias):
 
 
 def pallas_mode():
-    """'pair' (default: DSTL-pair fused kernel incl. the in-VMEM shift
-    relayout — measured 2475 slices/s vs swin 2178 / XLA 669 at RDST-E1
-    shapes, v5e-lite) | 'swin' (single fused whole-block) | 'pack'
-    (whole-block with two windows per lane row at C<=64 — measured
-    SLOWER than swin at RDST-E1 shapes: 1968) | '1' (attention-only
-    kernel) | 'block' (fused qkv+attn+proj) | '0'/'off' (pure XLA).
+    """'rdstb' (default: whole-RDSTB mega-kernel where it fits — 2891
+    slices/s at RDST-E1 shapes, v5e-lite — with DSTL-pair then
+    single-block fused fallbacks for non-RDSTB structures) | 'pair'
+    (DSTL-pair fused, 2475) | 'swin' (single fused whole-block, 2178) |
+    'pack' (two windows per lane row at C<=64 — SLOWER at RDST-E1
+    shapes: 1968) | '1' (attention-only) | 'block' (fused
+    qkv+attn+proj) | '0'/'off' (pure XLA, 669).
 
     '1' and 'block' were the round-1 experiments and measured SLOWER
     than XLA fusion (377 / 503 vs 669 slices/s) — kept for
@@ -114,7 +115,7 @@ def pallas_mode():
     mode = os.environ.get("RDST_TPU_PALLAS", "")
     if mode in ("0", "false", "off"):
         return ""
-    return mode or "pair"
+    return mode or "rdstb"
 
 
 def pallas_interpret() -> bool:

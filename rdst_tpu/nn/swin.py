@@ -262,7 +262,8 @@ class SwinTransformerBlock(nn.Module):
         from rdst_tpu.kernels.swin_block import fused_block_fits
 
         use_fused = (
-            wa.pallas_mode() in ("swin", "pair", "pack") and deterministic
+            wa.pallas_mode() in ("swin", "pair", "pack", "rdstb")
+            and deterministic
             and self.layer_norm and self.qk_scale is None
             and c % self.num_heads == 0
             and h % ws == 0 and w % ws == 0
@@ -433,7 +434,8 @@ class BasicLayer(nn.Module):
         ws, shift = resolve_ws_shift(self.build_resolution or (h, w), h, w,
                                      self.window_size, self.window_size // 2)
         use_pair = (
-            wa.pallas_mode() == "pair" and deterministic and self.layer_norm
+            wa.pallas_mode() in ("pair", "rdstb") and deterministic
+            and self.layer_norm
             and self.depth % 2 == 0 and not self.use_checkpoint
             and self.qk_scale is None and use_fast_path(self.dtype)
             and c % self.num_heads == 0
