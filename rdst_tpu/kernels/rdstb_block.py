@@ -37,7 +37,6 @@ from jax.experimental import pallas as pl
 from rdst_tpu.kernels.swin_block import (
     _VMEM_BUDGET,
     _body,
-    _fold_fast_weights,
     _head_mask,
     _image_to_windows,
     _layernorm,
@@ -47,6 +46,9 @@ from rdst_tpu.kernels.swin_block import (
     _unshift_relayout,
     _vmem_estimate,
     _windows_to_image,
+    const_spec,
+    pack_bias_fast,
+    prep_block_params,
     use_fast_path,
 )
 
@@ -123,13 +125,19 @@ def _rdstb_kernel(geom, c0, growth, nh, nb, prenorm, x_ref, *refs):
                   wqkv_a, bqkv_a, wproj_a, bproj_a,
                   bqkv_a, bqkv_a, bqkv_a, bqkv_a,  # LN affines pre-folded
                   w1_a, bf1_a, w2_a, bf2_a, bias_a, hmask, segones)
-        y = _shift_relayout(y.astype(cdt), ipp, nwh, nww, ws, shift)
+        if shift:
+            y = _shift_relayout(y.astype(cdt), ipp, nwh, nww, ws, shift)
+        else:
+            y = y.astype(cdt)
         y = _body(y.astype(jnp.float32), cdt, nh, scale, t, n, c, True,
                   nw if shift else 1,
                   wqkv_b, bqkv_b, wproj_b, bproj_b,
                   bqkv_b, bqkv_b, bqkv_b, bqkv_b,
                   w1_b, bf1_b, w2_b, bf2_b, bias_b, hmask, segones)
-        y = _unshift_relayout(y.astype(cdt), ipp, nwh, nww, ws, shift)
+        if shift:
+            y = _unshift_relayout(y.astype(cdt), ipp, nwh, nww, ws, shift)
+        else:
+            y = y.astype(cdt)
         if prenorm:
             # LN(C) -> Dense: the LN affine arrives pre-folded into
             # wad/bad (see fused_rdstb.prep_adapter) — normalize-only
@@ -152,24 +160,41 @@ def _rdstb_kernel(geom, c0, growth, nh, nb, prenorm, x_ref, *refs):
     o_ref[0] = (out + x0.astype(jnp.float32)).astype(o_ref.dtype)
 
 
-def _rdstb_vmem_estimate(t, n, c0, growth, nb, nh, hidden_ratio, es) -> float:
-    """Peak ~ the widest DSTL's pair estimate + the live dense features
-    + concat/conv buffers (rough; calibrate on hardware)."""
+def _rdstb_vmem_estimate(t, n, c0, growth, nb, nh, hidden_ratio, es,
+                         nw=None) -> float:
+    """Peak ~ the widest DSTL's single-block estimate + everything that
+    is simultaneously VMEM-resident around it: the SECOND weight set of
+    every DSTL, every DSTL's shifted bias stack, the live dense
+    features, relayout temporaries at the widest width, the concat /
+    conv-image buffers and the conv weights + shifted tap copies. Err
+    on the high side — an optimistic gate dies in Mosaic instead of
+    falling back to XLA."""
     def pad(v):
         return -(-v // 128) * 128
 
+    nw = t if nw is None else nw
     cmax = c0 + growth * (nb - 1)
     ccat = c0 + growth * nb
     widest = _vmem_estimate(t, n, cmax, nh, int(cmax * hidden_ratio),
-                            t // 1, es, fast=True)
+                            nw, es, fast=True)
     feats = t * n * (pad(c0) + nb * pad(growth)) * es
+    relayout = 3 * t * n * pad(cmax) * es
     cat = 2 * t * n * pad(ccat) * es  # concat + conv img relayout
+    conv_shift = 2 * t * n * pad(ccat) * es  # _conv3x3 sh/sv copies
     conv_acc = t * n * pad(c0) * 4
-    weights2 = sum(
+    conv_w = 9 * ccat * pad(c0) * es
+    biases = (nb - 1) * nw * n * pad(nh * n) * es  # widest's own is counted
+    weights2 = 2 * sum(
         (3 * ci * pad(ci) + ci * pad(ci)
          + 2 * ci * pad(int(ci * hidden_ratio))) * es
         for ci in (c0 + growth * i for i in range(nb)))
-    return widest + 0.48 * weights2 + feats + cat + conv_acc
+    # Calibration anchor: RDST-E1 at ipp=2 (t=40; widest alone models
+    # 13.5 MB, raw extras 13.8 MB) RUNS on hardware, so Mosaic reuses
+    # almost all of the extra buffers across the DSTL sequence — the
+    # live-range factor below keeps that measured config admitted while
+    # still growing with every term for larger geometries.
+    return widest + 0.12 * (weights2 + feats + relayout + cat
+                            + conv_shift + conv_acc + conv_w + biases)
 
 
 def fused_rdstb_fits(nw: int, n: int, c0: int, growth: int, nb: int,
@@ -177,7 +202,7 @@ def fused_rdstb_fits(nw: int, n: int, c0: int, growth: int, nb: int,
     if es != 2 or not use_fast_path(jnp.bfloat16):
         return False
     return _rdstb_vmem_estimate(nw, n, c0, growth, nb, nh, hidden_ratio,
-                                es) <= _VMEM_BUDGET
+                                es, nw=nw) <= _VMEM_BUDGET
 
 
 @functools.partial(
@@ -188,7 +213,7 @@ def fused_rdstb_fits(nw: int, n: int, c0: int, growth: int, nb: int,
 def fused_rdstb(x_tokens, dstls, conv_kernel, conv_bias, *,
                 num_heads: int, x_size, window_size: int, shift: int,
                 growth: int, adapter_prenorm: bool = False,
-                images_per_program: int = 2, interpret: bool = False):
+                images_per_program: int = 1, interpret: bool = False):
     """One whole RDSTB per Pallas program.
 
     x_tokens: (B, H·W, C0) image-major tokens (the RDSTB boundary
@@ -201,6 +226,11 @@ def fused_rdstb(x_tokens, dstls, conv_kernel, conv_bias, *,
                   affine + Dense (the affine folds into the Dense).
     conv_kernel: (3, 3, C_cat, C0) HWIO; conv_bias: (C0,).
     Returns (B, H·W, C0). bf16 fast path only.
+
+    images_per_program defaults to 1: measured FASTER than 2 for this
+    kernel (2887 vs 2699 slices/s at RDST-E1 shapes — the C_cat=150
+    working set at t=40 strains VMEM and pipelines worse), unlike the
+    single-block/pair kernels where 2 wins.
     """
     b, l, c0 = x_tokens.shape
     h, w = x_size
@@ -216,38 +246,26 @@ def fused_rdstb(x_tokens, dstls, conv_kernel, conv_bias, *,
 
     hidden0 = dstls[0]["blocks"][0][0][8].shape[1]
     hidden_ratio = hidden0 / c0
-    ipp = images_per_program
+    ipp = max(1, images_per_program)
     while ipp > 1 and (b % ipp != 0 or _rdstb_vmem_estimate(
             nw * ipp, n, c0, growth, nb, nh, hidden_ratio,
-            es) > _VMEM_BUDGET):
+            es, nw=nw) > _VMEM_BUDGET):
         ipp -= 1
     t = nw * ipp
     grid = (b // ipp,)
 
     def prep(params, c):
-        wqkv, bqkv, wproj, bproj, g1, b1, g2, b2, w1, bf1, w2, bf2 = params
-        if bqkv is None:
-            bqkv = jnp.zeros((3 * c,), wqkv.dtype)
-        wqkv, bqkv, w1, bf1 = (a.astype(dt) for a in (wqkv, bqkv, w1, bf1))
-        scale = (c // nh) ** -0.5
-        wqkv, bqkv, w1, bf1 = _fold_fast_weights(
-            wqkv, bqkv, g1, b1, g2, b2, w1, bf1, c, scale, dt)
-        hid = w1.shape[1]
-        return [wqkv.astype(dt), bqkv.reshape(1, 3 * c),
-                wproj.astype(dt), bproj.astype(dt).reshape(1, c),
-                w1.astype(dt), bf1.reshape(1, hid),
-                w2.astype(dt), bf2.astype(dt).reshape(1, c)]
+        full = prep_block_params(params, c, nh, dt)
+        # slots 4..7 are the LN affine rows — folded away on this path
+        return full[:4] + full[8:]
 
     def pack_bias(bias):
-        bwin = bias.shape[0] // nh
-        out = bias.reshape(nh, bwin, n, n).transpose(1, 2, 0, 3)
-        return out.reshape(bwin, n, nh * n).astype(dt)
+        return pack_bias_fast(bias, nh, n, dt)
 
     vm = {} if (pltpu is None or interpret) else {"memory_space": pltpu.VMEM}
 
     def const(*shape):
-        nd = len(shape)
-        return pl.BlockSpec(shape, lambda i, _nd=nd: (0,) * _nd, **vm)
+        return const_spec(vm, *shape)
 
     operands, specs = [], []
 

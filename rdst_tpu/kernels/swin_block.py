@@ -605,6 +605,38 @@ def fused_swin_block(x_windows, wqkv, bqkv, wproj, bproj,
     return out
 
 
+def prep_block_params(params, c, nh, dt):
+    """Fold + cast + reshape one block's 12-param bundle for a fused
+    kernel (the exact bf16-before-fold rounding order of the
+    single-block path). Shared by the pair and RDSTB wrappers."""
+    wqkv, bqkv, wproj, bproj, g1, b1, g2, b2, w1, bf1, w2, bf2 = params
+    if bqkv is None:
+        bqkv = jnp.zeros((3 * c,), wqkv.dtype)
+    wqkv, bqkv, w1, bf1 = (a.astype(dt) for a in (wqkv, bqkv, w1, bf1))
+    scale = (c // nh) ** -0.5
+    wqkv, bqkv, w1, bf1 = _fold_fast_weights(
+        wqkv, bqkv, g1, b1, g2, b2, w1, bf1, c, scale, dt)
+    hid = w1.shape[1]
+    return [wqkv.astype(dt), bqkv.reshape(1, 3 * c),
+            wproj.astype(dt), bproj.astype(dt).reshape(1, c),
+            g1.reshape(1, c), b1.reshape(1, c),
+            g2.reshape(1, c), b2.reshape(1, c),
+            w1.astype(dt), bf1.reshape(1, hid),
+            w2.astype(dt), bf2.astype(dt).reshape(1, c)]
+
+
+def pack_bias_fast(bias, nh, n, dt):
+    """Head-major (nH·bw, N, N) -> fast-layout (bw, N, nH·N)."""
+    bwin = bias.shape[0] // nh
+    out = bias.reshape(nh, bwin, n, n).transpose(1, 2, 0, 3)
+    return out.reshape(bwin, n, nh * n).astype(dt)
+
+
+def const_spec(vm, *shape):
+    nd = len(shape)
+    return pl.BlockSpec(shape, lambda i, _nd=nd: (0,) * _nd, **vm)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("num_heads", "x_size", "window_size", "shift",
@@ -637,11 +669,9 @@ def fused_swin_pair(x_windows, params_a, bias_a, params_b, bias_b, *,
     nw = nwh * nww
     es = jnp.dtype(x_windows.dtype).itemsize
     assert use_fast_path(x_windows.dtype), "pair kernel is fast-path only"
-    hd = c // nh
-    scale = hd**-0.5
     hidden = params_a[8].shape[1]
 
-    ipp = images_per_program
+    ipp = max(1, images_per_program)
     while ipp > 1 and (bnw % (nw * ipp) != 0
                        or _pair_vmem_estimate(nw * ipp, n, c, nh, hidden,
                                               nw, es) > _VMEM_BUDGET):
@@ -650,35 +680,13 @@ def fused_swin_pair(x_windows, params_a, bias_a, params_b, bias_b, *,
     grid = (bnw // t,)
     dt = x_windows.dtype
 
-    def prep(params):
-        wqkv, bqkv, wproj, bproj, g1, b1, g2, b2, w1, bf1, w2, bf2 = params
-        if bqkv is None:
-            bqkv = jnp.zeros((3 * c,), wqkv.dtype)
-        # round weights to the compute dtype BEFORE folding — the exact
-        # rounding order of the single-block path (whose callers cast at
-        # the call site). Kernel operands then match bitwise; whole-jit
-        # outputs can still drift by bf16-ulp where XLA fuses the glue
-        # around the two programs differently.
-        wqkv, bqkv, w1, bf1 = (a.astype(dt) for a in (wqkv, bqkv, w1, bf1))
-        wqkv, bqkv, w1, bf1 = _fold_fast_weights(
-            wqkv, bqkv, g1, b1, g2, b2, w1, bf1, c, scale, dt)
-        return (wqkv.astype(dt), bqkv.reshape(1, 3 * c),
-                wproj.astype(dt), bproj.astype(dt).reshape(1, c),
-                g1.reshape(1, c), b1.reshape(1, c),
-                g2.reshape(1, c), b2.reshape(1, c),
-                w1.astype(dt), bf1.reshape(1, hidden),
-                w2.astype(dt), bf2.astype(dt).reshape(1, c))
-
-    def pack_bias(bias):
-        bwin = bias.shape[0] // nh
-        out = bias.reshape(nh, bwin, n, n).transpose(1, 2, 0, 3)
-        return out.reshape(bwin, n, nh * n).astype(dt)
-
     vm = {} if (pltpu is None or interpret) else {"memory_space": pltpu.VMEM}
 
+    def prep(params):
+        return prep_block_params(params, c, nh, dt)
+
     def const(*shape):
-        nd = len(shape)
-        return pl.BlockSpec(shape, lambda i, _nd=nd: (0,) * _nd, **vm)
+        return const_spec(vm, *shape)
 
     def param_specs():
         return [
@@ -689,11 +697,11 @@ def fused_swin_pair(x_windows, params_a, bias_a, params_b, bias_b, *,
             const(hidden, c), const(1, c),       # w2 bf2
         ]
 
-    bias_a_in = pack_bias(bias_a)
-    bias_b_in = pack_bias(bias_b)
+    bias_a_in = pack_bias_fast(bias_a, nh, n, dt)
+    bias_b_in = pack_bias_fast(bias_b, nh, n, dt)
     geom = (ipp, nwh, nww, ws, shift)
-    kernel = functools.partial(_pair_kernel, nh, scale, t, n, c, nw, True,
-                               geom)
+    kernel = functools.partial(_pair_kernel, nh, (c // nh) ** -0.5, t, n, c,
+                               nw, True, geom)
 
     xg = x_windows.reshape(bnw // t, t * n, c)
     out = pl.pallas_call(

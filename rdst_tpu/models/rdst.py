@@ -269,7 +269,8 @@ class RDSTB(nn.Module):
             idim += self.growth_rate
         wc, bc = _ConvParams((3, 3, idim, self.input_dim), name="conv")()
 
-        ipp = int(os.environ.get("RDST_TPU_PALLAS_IPP", "2"))
+        # default 1: measured faster than 2 for the mega-kernel
+        ipp = int(os.environ.get("RDST_TPU_PALLAS_IPP", "1"))
         return fused_rdstb(
             x.astype(self.dtype), dstls, wc, bc,
             num_heads=self.num_heads, x_size=(h, w), window_size=ws,

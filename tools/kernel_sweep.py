@@ -20,6 +20,8 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 SLICES_PER_VOLUME = int(os.environ.get("SWEEP_SLICES", 128))
 LR_SHAPE = (40, 32, 1)
 N_DISTINCT_VOLUMES = 2
@@ -27,8 +29,8 @@ N_ITERS = int(os.environ.get("SWEEP_ITERS", 16))
 
 
 def main():
-    points = sys.argv[1:] or ["0", "swin", "swin:4", "pair", "pair:4",
-                              "pack", "pack:4"]
+    points = sys.argv[1:] or ["0", "swin", "pair", "rdstb", "rdstb:4",
+                              "pack"]
 
     import jax
     import jax.numpy as jnp
@@ -59,7 +61,10 @@ def main():
     for point in points:
         mode, _, ipp = point.partition(":")
         os.environ["RDST_TPU_PALLAS"] = mode
-        os.environ["RDST_TPU_PALLAS_IPP"] = ipp or "2"
+        if ipp:  # unannotated points use each kernel's own default
+            os.environ["RDST_TPU_PALLAS_IPP"] = ipp
+        else:
+            os.environ.pop("RDST_TPU_PALLAS_IPP", None)
 
         def eva_volume(p, hr):
             lr = resize_nhwc(hr, LR_SHAPE[:2], "cubic").astype(dtype)
