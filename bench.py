@@ -70,9 +70,9 @@ def main():
     # evaluates its slice shard and GSPMD keeps everything local)
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from rdst_tpu.parallel import make_mesh
+    from rdst_tpu.parallel import make_mesh_from_paras
 
-    mesh = make_mesh()
+    mesh = make_mesh_from_paras(paras)
     volumes = jax.device_put(
         rng.random((N_DISTINCT_VOLUMES,) + hr_shape, dtype=np.float32),
         NamedSharding(mesh, P(None, "data")))

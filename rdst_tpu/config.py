@@ -97,6 +97,16 @@ class ParametersLoader:
             self.set(k, v)
         return self
 
+    def apply_overrides(self, overrides) -> None:
+        """Apply CLI ``key=value`` overrides (values parsed exactly like
+        .ini values), e.g. ``mesh_shape=[2,2,2]`` ``batch_size=16``."""
+        for ov in overrides or ():
+            key, sep, raw = str(ov).partition("=")
+            if not sep or not key:
+                raise ValueError(
+                    f"override {ov!r} is not KEY=VALUE (e.g. mesh_shape=[2,2,2])")
+            self.set(key.strip(), parse_value(raw.strip()))
+
     def __contains__(self, key: str) -> bool:
         return key in self.names
 

@@ -164,6 +164,9 @@ if __name__ == "__main__":
     ap.add_argument("--root", default="data/OASIS/example")
     ap.add_argument("--dataset", default="oasis", choices=["oasis", "brats", "acdc", "covid"])
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--n-patients", type=int, default=None,
+                    help="Override the number of phantoms (oasis: ids "
+                         "OAS1_0001_MR1..OAS1_{n:04d}_MR1).")
     args = ap.parse_args()
     maker = {
         "oasis": make_oasis_example,
@@ -171,5 +174,11 @@ if __name__ == "__main__":
         "acdc": make_acdc_example,
         "covid": make_covid_example,
     }[args.dataset]
-    maker(args.root, seed=args.seed)
+    kwargs = {}
+    if args.n_patients is not None:
+        if args.dataset != "oasis":
+            ap.error("--n-patients is only wired for the oasis layout")
+        kwargs["patient_ids"] = tuple(
+            f"OAS1_{i:04d}_MR1" for i in range(1, args.n_patients + 1))
+    maker(args.root, seed=args.seed, **kwargs)
     print(f"wrote synthetic {args.dataset} example data to {args.root}")

@@ -35,12 +35,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 from rdst_tpu.kernels.swin_block import (
+    _QX,
     _VMEM_BUDGET,
     _body,
     _head_mask,
     _image_to_windows,
     _layernorm,
     _normalize,
+    _quant_dyn,
     _seg_ones,
     _shift_relayout,
     _unshift_relayout,
@@ -49,6 +51,8 @@ from rdst_tpu.kernels.swin_block import (
     const_spec,
     pack_bias_fast,
     prep_block_params,
+    quant_flags,
+    quantize_weight,
     use_fast_path,
 )
 
@@ -59,18 +63,31 @@ except ImportError:  # pragma: no cover
 
 # refs per DSTL: 2 blocks x (wqkv bqkv wproj bproj w1 bf1 w2 bf2)
 # + bias_a + bias_b + adapter (wa ba ga bba) + hmask + segones
+# + optional per-block int8 operands (see _quant_extras_per_block)
 _PER_BLOCK = 8
 _PER_DSTL = 2 * _PER_BLOCK + 2 + 4 + 2
 
+# per-block int8 extras, in group order: qkv -> (wq, ws),
+# mlp -> (w1q, w1s, w2q, w2s), proj -> (wpq, wps)
+_QUANT_SLOTS = {"qkv": 2, "mlp": 4, "proj": 2}
 
-def _conv3x3(img, wc_ref, bc_ref, cin, cout):
+
+def _quant_extras_per_block(quant) -> int:
+    return sum(_QUANT_SLOTS[g] for g in ("qkv", "mlp", "proj") if g in quant)
+
+
+def _conv3x3(img, wc_ref, bc_ref, cin, cout, dequant=None):
     """SAME zero-padded 3x3 conv as 9 shifted matmuls, in VMEM.
 
-    img: (ipp, H, W, Cin) f32 value; wc: (9·Cin, Cout) with tap-major
-    rows (dy, dx, cin); bc: (1, Cout)."""
+    img: (ipp, H, W, Cin) value (f32, or int8 when ``dequant`` is given
+    — the taps then accumulate int32 and dequantize ONCE at the end);
+    wc: (9·Cin, Cout) tap-major rows (dy, dx, cin); bc: (1, Cout);
+    dequant: f32 (1, Cout) per-channel weight scale times the dynamic
+    activation step."""
     ipp, h, w, _ = img.shape
     m = ipp * h * w
-    acc = jnp.zeros((m, cout), jnp.float32)
+    acc_t = jnp.int32 if dequant is not None else jnp.float32
+    acc = jnp.zeros((m, cout), acc_t)
     zrow = jnp.zeros((ipp, 1, w, cin), img.dtype)
     zcol = jnp.zeros((ipp, h, 1, cin), img.dtype)
     for dy in (-1, 0, 1):
@@ -91,13 +108,27 @@ def _conv3x3(img, wc_ref, bc_ref, cin, cout):
             acc = acc + jnp.dot(
                 sv.reshape(m, cin),
                 wc_ref[tap * cin:(tap + 1) * cin, :],
-                preferred_element_type=jnp.float32)
+                preferred_element_type=acc_t)
+    if dequant is not None:
+        acc = acc.astype(jnp.float32) * dequant
     return acc + bc_ref[...].astype(jnp.float32)
 
 
-def _rdstb_kernel(geom, c0, growth, nh, nb, prenorm, x_ref, *refs):
-    """geom = (ipp, nwh, nww, ws, shift). refs laid out per _PER_DSTL,
-    then conv kernel/bias; the output ref is last."""
+def _unpack_quant(refs, off, quant):
+    """Per-block int8 extras at refs[off:]; returns (quant_dict, new_off)."""
+    q = {}
+    for g in ("qkv", "mlp", "proj"):
+        if g in quant:
+            ns = _QUANT_SLOTS[g]
+            q[g] = tuple(refs[off:off + ns])
+            off += ns
+    return q, off
+
+
+def _rdstb_kernel(geom, c0, growth, nh, nb, prenorm, quant, x_ref, *refs):
+    """geom = (ipp, nwh, nww, ws, shift). refs laid out per _PER_DSTL
+    (+ per-block int8 extras when quant is non-empty), then conv
+    kernel/bias (+ conv dequant scales); the output ref is last."""
     ipp, nwh, nww, ws, shift = geom
     nw = nwh * nww
     n = ws * ws
@@ -105,6 +136,7 @@ def _rdstb_kernel(geom, c0, growth, nh, nb, prenorm, x_ref, *refs):
     o_ref = refs[-1]
     refs = refs[:-1]
     cdt = x_ref.dtype
+    per_dstl = _PER_DSTL + 2 * _quant_extras_per_block(quant)
 
     x0 = x_ref[0]  # (ipp·H·W, C0) image-major tokens
     xw = _image_to_windows(
@@ -113,18 +145,21 @@ def _rdstb_kernel(geom, c0, growth, nh, nb, prenorm, x_ref, *refs):
     feats = [xw]  # dense features, window layout, cdt
     c = c0
     for d in range(nb):
-        base = d * _PER_DSTL
+        base = d * per_dstl
         (wqkv_a, bqkv_a, wproj_a, bproj_a, w1_a, bf1_a, w2_a, bf2_a,
          wqkv_b, bqkv_b, wproj_b, bproj_b, w1_b, bf1_b, w2_b, bf2_b,
          bias_a, bias_b, wad, bad, gad, bbad, hmask, segones) = refs[
             base:base + _PER_DSTL]
+        qa, qoff = _unpack_quant(refs, base + _PER_DSTL, quant)
+        qb, _ = _unpack_quant(refs, qoff, quant)
 
         xin = feats[0] if len(feats) == 1 else jnp.concatenate(feats, axis=-1)
         scale = (c // nh) ** -0.5
         y = _body(xin.astype(jnp.float32), cdt, nh, scale, t, n, c, True, 1,
                   wqkv_a, bqkv_a, wproj_a, bproj_a,
                   bqkv_a, bqkv_a, bqkv_a, bqkv_a,  # LN affines pre-folded
-                  w1_a, bf1_a, w2_a, bf2_a, bias_a, hmask, segones)
+                  w1_a, bf1_a, w2_a, bf2_a, bias_a, hmask, segones,
+                  quant=qa)
         if shift:
             y = _shift_relayout(y.astype(cdt), ipp, nwh, nww, ws, shift)
         else:
@@ -133,7 +168,8 @@ def _rdstb_kernel(geom, c0, growth, nh, nb, prenorm, x_ref, *refs):
                   nw if shift else 1,
                   wqkv_b, bqkv_b, wproj_b, bproj_b,
                   bqkv_b, bqkv_b, bqkv_b, bqkv_b,
-                  w1_b, bf1_b, w2_b, bf2_b, bias_b, hmask, segones)
+                  w1_b, bf1_b, w2_b, bf2_b, bias_b, hmask, segones,
+                  quant=qb)
         if shift:
             y = _unshift_relayout(y.astype(cdt), ipp, nwh, nww, ws, shift)
         else:
@@ -153,10 +189,18 @@ def _rdstb_kernel(geom, c0, growth, nh, nb, prenorm, x_ref, *refs):
         feats.append(a.astype(cdt))
         c += growth
 
-    wc_ref, bc_ref = refs[nb * _PER_DSTL:nb * _PER_DSTL + 2]
+    conv_refs = refs[nb * per_dstl:]
     cat = jnp.concatenate(feats, axis=-1)  # (T·N, C0 + nb·g)
-    img = _windows_to_image(cat, ipp, nwh, nww, ws)
-    out = _conv3x3(img, wc_ref, bc_ref, c, c0)
+    if "conv" in quant:
+        wcq_ref, wcs_ref, bc_ref = conv_refs[:3]
+        catq, cdq = _quant_dyn(cat.astype(jnp.float32))
+        img = _windows_to_image(catq, ipp, nwh, nww, ws)  # int8 tap copies
+        out = _conv3x3(img, wcq_ref, bc_ref, c, c0,
+                       dequant=wcs_ref[...] * cdq)
+    else:
+        wc_ref, bc_ref = conv_refs[:2]
+        img = _windows_to_image(cat, ipp, nwh, nww, ws)
+        out = _conv3x3(img, wc_ref, bc_ref, c, c0)
     o_ref[0] = (out + x0.astype(jnp.float32)).astype(o_ref.dtype)
 
 
@@ -205,15 +249,77 @@ def fused_rdstb_fits(nw: int, n: int, c0: int, growth: int, nb: int,
                                 es, nw=nw) <= _VMEM_BUDGET
 
 
+_PROBE_CACHE: dict = {}
+
+
+def fused_rdstb_probe(x_size, ws: int, shift: int, c0: int, growth: int,
+                      nb: int, nh: int, hidden_ratio: float, prenorm: bool,
+                      ipp: int = 1) -> bool:
+    """Mosaic-compile the mega-kernel ONCE per geometry with dummy
+    weights (``.lower().compile()``, no execution). The VMEM gate's
+    live-range factor is calibrated on one measured geometry, so an
+    optimistic admit on a new config would otherwise die inside Mosaic
+    mid-model with no fallback; this makes such geometries fall back to
+    the pair/XLA path instead (ADVICE r2). Cached per geometry."""
+    key = (tuple(x_size), ws, shift, c0, growth, nb, nh, hidden_ratio,
+           prenorm, ipp)
+    if key in _PROBE_CACHE:
+        return _PROBE_CACHE[key]
+    h, w = x_size
+    n = ws * ws
+    nw = (h // ws) * (w // ws)
+    dt = jnp.bfloat16
+    f32 = jnp.float32
+
+    def blk(c):
+        hid = int(c * hidden_ratio)
+        params = (jnp.zeros((c, 3 * c), dt), jnp.zeros((3 * c,), dt),
+                  jnp.zeros((c, c), dt), jnp.zeros((c,), dt),
+                  jnp.ones((c,), f32), jnp.zeros((c,), f32),
+                  jnp.ones((c,), f32), jnp.zeros((c,), f32),
+                  jnp.zeros((c, hid), dt), jnp.zeros((hid,), dt),
+                  jnp.zeros((hid, c), dt), jnp.zeros((c,), dt))
+        return params
+
+    dstls = []
+    c = c0
+    for _ in range(nb):
+        bias_a = jnp.zeros((nh, n, n), dt)
+        bias_b = jnp.zeros((nh * (nw if shift else 1), n, n), dt)
+        adapter = (jnp.zeros((c, growth), dt), jnp.zeros((growth,), dt),
+                   jnp.ones((growth,), f32), jnp.zeros((growth,), f32))
+        dstls.append({"blocks": [(blk(c), bias_a), (blk(c), bias_b)],
+                      "adapter": adapter})
+        c += growth
+    ck = jnp.zeros((3, 3, c, c0), dt)
+    cb = jnp.zeros((c0,), f32)
+    x = jnp.zeros((ipp, h * w, c0), dt)
+    try:
+        fused_rdstb.lower(
+            x, dstls, ck, cb, num_heads=nh, x_size=(h, w), window_size=ws,
+            shift=shift, growth=growth, adapter_prenorm=prenorm,
+            images_per_program=ipp).compile()
+        _PROBE_CACHE[key] = True
+    except Exception as e:  # Mosaic/VMEM compile failure -> fall back
+        import warnings
+
+        warnings.warn(
+            f"fused_rdstb probe-compile failed for geometry {key}; "
+            f"falling back to the pair/XLA path ({type(e).__name__})")
+        _PROBE_CACHE[key] = False
+    return _PROBE_CACHE[key]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("num_heads", "x_size", "window_size", "shift",
                      "growth", "adapter_prenorm", "images_per_program",
-                     "interpret"))
+                     "interpret", "quant"))
 def fused_rdstb(x_tokens, dstls, conv_kernel, conv_bias, *,
                 num_heads: int, x_size, window_size: int, shift: int,
                 growth: int, adapter_prenorm: bool = False,
-                images_per_program: int = 1, interpret: bool = False):
+                images_per_program: int = 1, interpret: bool = False,
+                quant: frozenset = None):
     """One whole RDSTB per Pallas program.
 
     x_tokens: (B, H·W, C0) image-major tokens (the RDSTB boundary
@@ -243,6 +349,8 @@ def fused_rdstb(x_tokens, dstls, conv_kernel, conv_bias, *,
     dt = x_tokens.dtype
     es = jnp.dtype(dt).itemsize
     assert use_fast_path(dt), "fused_rdstb is fast-path (bf16) only"
+    if quant is None:
+        quant = quant_flags()  # trace-time env read (like use_fast_path)
 
     hidden0 = dstls[0]["blocks"][0][0][8].shape[1]
     hidden_ratio = hidden0 / c0
@@ -273,10 +381,40 @@ def fused_rdstb(x_tokens, dstls, conv_kernel, conv_bias, *,
         operands.append(arr)
         specs.append(const(*arr.shape))
 
+    def add_quant_extras(folded):
+        # group order must match _unpack_quant: qkv, mlp, proj
+        if "qkv" in quant:
+            for arr in quantize_weight(folded[0], act_step=1.0 / _QX):
+                add(arr)
+        if "mlp" in quant:
+            for arr in quantize_weight(folded[4], act_step=1.0 / _QX):
+                add(arr)  # fc1: static post-normalize input scale
+            for arr in quantize_weight(folded[6], act_step=1.0):
+                add(arr)  # fc2: dynamic input scale (gelu output)
+        if "proj" in quant:
+            for arr in quantize_weight(folded[2], act_step=1.0):
+                add(arr)
+
+    dead = jnp.zeros((8, 128), dt)  # minimal-tile stand-in: a bf16
+    # weight superseded by its int8 twin is never read by the kernel,
+    # so don't spend VMEM shipping it
+
+    def drop_quantized(folded):
+        f = list(folded)
+        if "qkv" in quant:
+            f[0] = dead
+        if "mlp" in quant:
+            f[4] = dead
+            f[6] = dead
+        if "proj" in quant:
+            f[2] = dead
+        return f
+
     c = c0
     for d in dstls:
         (pa, bias_a), (pb, bias_b) = d["blocks"]
-        for arr in prep(pa, c) + prep(pb, c):
+        fa, fb = prep(pa, c), prep(pb, c)
+        for arr in drop_quantized(fa) + drop_quantized(fb):
             add(arr)
         add(pack_bias(bias_a))
         add(pack_bias(bias_b))
@@ -299,17 +437,23 @@ def fused_rdstb(x_tokens, dstls, conv_kernel, conv_bias, *,
             add(bba.astype(jnp.float32).reshape(1, growth))
         add(_head_mask(nh, c, dt))
         add(_seg_ones(nh, n, dt))
+        add_quant_extras(fa)
+        add_quant_extras(fb)
         c += growth
 
     # conv kernel -> tap-major (9·C_cat, C0) rows (dy, dx, cin)
     ccat = conv_kernel.shape[2]
     wc = conv_kernel.astype(dt).reshape(9 * ccat, c0)
-    add(wc)
+    if "conv" in quant:
+        for arr in quantize_weight(wc, act_step=1.0):
+            add(arr)
+    else:
+        add(wc)
     add(conv_bias.astype(jnp.float32).reshape(1, c0))
 
     geom = (ipp, nwh, nww, ws, shift)
     kernel = functools.partial(_rdstb_kernel, geom, c0, growth, nh, nb,
-                               adapter_prenorm)
+                               adapter_prenorm, quant)
     xg = x_tokens.reshape(b // ipp, ipp * l, c0)
     out = pl.pallas_call(
         kernel,

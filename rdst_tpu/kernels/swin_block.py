@@ -78,6 +78,12 @@ except ImportError:  # pragma: no cover
 _EPS = 1e-5  # torch-default LayerNorm epsilon (nn/layers.py)
 _CLAMP = 60.0  # fast-path exp clamp: e^60 is finite, trained scores are O(10)
 
+# int8 quantization (RDST_TPU_PALLAS_QUANT): static activation scale for
+# post-LayerNorm inputs — normalize() output is unit-variance by
+# construction, so ±4σ covers ~99.99% of values and clip loss is noise
+_QCLIP = 4.0
+_QX = 127.0 / _QCLIP
+
 _VMEM_BUDGET = 15.5 * 2**20  # scoped-VMEM limit is 16 MiB on v5e-class cores
 
 
@@ -165,11 +171,23 @@ def _normalize(xf, nseg: int = 1):
     return xf * ab - mab
 
 
+def _quant_rows(xf, s):
+    """f32 -> int8 rows at static scale s (one round/clip pass)."""
+    return jnp.clip(jnp.round(xf * s), -127.0, 127.0).astype(jnp.int8)
+
+
+def _quant_dyn(xf):
+    """Dynamic per-tensor int8: returns (int8 rows, dequant scalar)."""
+    amax = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-30)
+    s = 127.0 / amax
+    return _quant_rows(xf, s), amax * (1.0 / 127.0)
+
+
 def _body(xf, cdt, nH, scale, T, N, C, fast, bw,
           wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
           g1_ref, b1_ref, g2_ref, b2_ref,
           w1_ref, bf1_ref, w2_ref, bf2_ref,
-          bias_ref, hmask_ref, segones_ref, nseg=1):
+          bias_ref, hmask_ref, segones_ref, nseg=1, quant=None):
     """One Swin block body on an in-VMEM (T·N, C) f32 value; returns the
     f32 output. Shared by the single-block and DSTL-pair kernels.
 
@@ -177,11 +195,21 @@ def _body(xf, cdt, nH, scale, T, N, C, fast, bw,
     whole image's nW when the bias varies per window (shifted block with
     mask — T spans ipp whole images), the chunk size t when the grid is
     window-chunked (T = bw = t, one bias slice per chunk), or 1 when all
-    windows share it (unshifted: rel-pos only — nW× smaller VMEM)."""
+    windows share it (unshifted: rel-pos only — nW× smaller VMEM).
+
+    quant (fast path only): optional dict of int8 matmul operands —
+    'qkv': (wq_ref int8 (C,3C), ws_ref f32 (1,3C) pre-multiplied by the
+    static activation step), 'mlp': (w1q, w1s, w2q, w2s), 'proj':
+    (wpq, wps). fc1/qkv inputs are post-normalize (unit variance:
+    static ±4σ scale); fc2/proj inputs use a dynamic per-tensor scale.
+    v5e MXU int8 throughput is 2x bf16 — this trades output agreement
+    for MXU cycles; quality is measured in PERF.md, default off."""
+    quant = quant or {}
     if fast:
         # LN affine and the qk scale are pre-folded into wqkv/bqkv
         # (see fused_swin_block): normalize-only LN, no q·scale pass
-        xn = _normalize(xf, nseg).astype(cdt)
+        xn_f = _normalize(xf, nseg)
+        xn = None if "qkv" in quant else xn_f.astype(cdt)
     else:
         g1 = g1_ref[...].astype(jnp.float32)
         b1 = b1_ref[...].astype(jnp.float32)
@@ -189,10 +217,20 @@ def _body(xf, cdt, nH, scale, T, N, C, fast, bw,
 
     # three separate projections (instead of one (T·N, 3C) f32 dot) to
     # bound peak VMEM when T spans several images
-    def proj(lo):
-        y = jnp.dot(xn, wqkv_ref[:, lo:lo + C],
-                    preferred_element_type=jnp.float32)
-        return y + bqkv_ref[0, lo:lo + C][None].astype(jnp.float32)
+    if "qkv" in quant:
+        wq_ref, ws_ref = quant["qkv"]
+        xq = _quant_rows(xn_f, _QX)
+
+        def proj(lo):
+            y = jnp.dot(xq, wq_ref[:, lo:lo + C],
+                        preferred_element_type=jnp.int32)
+            return (y.astype(jnp.float32) * ws_ref[0, lo:lo + C][None]
+                    + bqkv_ref[0, lo:lo + C][None].astype(jnp.float32))
+    else:
+        def proj(lo):
+            y = jnp.dot(xn, wqkv_ref[:, lo:lo + C],
+                        preferred_element_type=jnp.float32)
+            return y + bqkv_ref[0, lo:lo + C][None].astype(jnp.float32)
 
     q = proj(0) if fast else proj(0) * scale
     q = q.astype(cdt).reshape(T, N, C)
@@ -245,18 +283,39 @@ def _body(xf, cdt, nH, scale, T, N, C, fast, bw,
                 preferred_element_type=jnp.float32)  # (T, N, C)
             acc = acc + o_h * m_h.astype(jnp.float32)
 
-    y = jnp.dot(acc.reshape(T * N, C).astype(cdt), wproj_ref[...],
-                preferred_element_type=jnp.float32)
-    y = y + bproj_ref[...].astype(jnp.float32)
+    if "proj" in quant:
+        wpq_ref, wps_ref = quant["proj"]
+        accq, adq = _quant_dyn(acc.reshape(T * N, C))
+        y = jnp.dot(accq, wpq_ref[...], preferred_element_type=jnp.int32)
+        y = y.astype(jnp.float32) * (wps_ref[...] * adq)
+        y = y + bproj_ref[...].astype(jnp.float32)
+    else:
+        y = jnp.dot(acc.reshape(T * N, C).astype(cdt), wproj_ref[...],
+                    preferred_element_type=jnp.float32)
+        y = y + bproj_ref[...].astype(jnp.float32)
 
     x1 = xf + y  # residual 1 (f32)
 
+    mq = quant.get("mlp")
     if fast:
-        x1n = _normalize(x1, nseg).astype(cdt)  # affine folded into w1/bf1
+        x1n_f = _normalize(x1, nseg)  # affine folded into w1/bf1
+        x1n = None if mq else x1n_f.astype(cdt)
     else:
         g2 = g2_ref[...].astype(jnp.float32)
         b2 = b2_ref[...].astype(jnp.float32)
         x1n = _layernorm(x1, g2, b2).astype(cdt)
+    if mq:
+        w1q_ref, w1s_ref, w2q_ref, w2s_ref = mq
+        h1 = jnp.dot(_quant_rows(x1n_f, _QX), w1q_ref[...],
+                     preferred_element_type=jnp.int32)
+        h1 = h1.astype(jnp.float32) * w1s_ref[...]
+        h1 = h1 + bf1_ref[...].astype(jnp.float32)
+        h1 = jax.nn.gelu(h1, approximate=True)
+        h1q, hdq = _quant_dyn(h1)
+        h2 = jnp.dot(h1q, w2q_ref[...], preferred_element_type=jnp.int32)
+        h2 = h2.astype(jnp.float32) * (w2s_ref[...] * hdq)
+        h2 = h2 + bf2_ref[...].astype(jnp.float32)
+        return x1 + h2
     h1 = jnp.dot(x1n, w1_ref[...], preferred_element_type=jnp.float32)
     h1 = h1 + bf1_ref[...].astype(jnp.float32)
     if fast:
@@ -368,6 +427,37 @@ def _fold_fast_weights(wqkv, bqkv, g1, b1, g2, b2, w1, bf1, c, scale, dt):
     w1_f = g2.astype(f32)[:, None] * w1.astype(f32)
     bf1_f = b2.astype(f32) @ w1.astype(f32) + bf1.astype(f32)
     return wqkv_f.astype(dt), bqkv_f, w1_f.astype(dt), bf1_f
+
+
+def quant_flags() -> frozenset:
+    """RDST_TPU_PALLAS_QUANT: comma list of int8 matmul groups for the
+    RDSTB mega-kernel — any of qkv, mlp, proj, conv; 'all' = all four.
+    Default: empty (bf16 everywhere). Read at TRACE time."""
+    import os
+
+    raw = os.environ.get("RDST_TPU_PALLAS_QUANT", "").strip().lower()
+    if not raw or raw in ("0", "none"):
+        return frozenset()
+    if raw == "all":
+        return frozenset(("qkv", "mlp", "proj", "conv"))
+    flags = frozenset(p.strip() for p in raw.split(",") if p.strip())
+    bad = flags - {"qkv", "mlp", "proj", "conv"}
+    if bad:
+        raise ValueError(f"RDST_TPU_PALLAS_QUANT: unknown groups {sorted(bad)}")
+    return flags
+
+
+def quantize_weight(w, act_step: float = 1.0):
+    """Per-output-channel symmetric int8 weight quantization.
+
+    Returns (wq int8, ws f32 (1, out)) with the activation dequant step
+    pre-multiplied into ws so the kernel pays ONE f32 multiply per
+    output: y = (xq @ wq) * ws + b."""
+    w = jnp.asarray(w, jnp.float32)
+    amax = jnp.maximum(jnp.max(jnp.abs(w), axis=0, keepdims=True), 1e-30)
+    s = amax / 127.0
+    wq = jnp.clip(jnp.round(w / s), -127.0, 127.0).astype(jnp.int8)
+    return wq, (s * act_step).astype(jnp.float32)
 
 
 def use_fast_path(dtype) -> bool:

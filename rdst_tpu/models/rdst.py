@@ -213,8 +213,8 @@ class RDSTB(nn.Module):
         from rdst_tpu.nn.swin import resolve_ws_shift
 
         h, w = x_size
-        ws, _ = resolve_ws_shift(self.build_resolution or (h, w), h, w,
-                                 self.window_size, self.window_size // 2)
+        ws, shift = resolve_ws_shift(self.build_resolution or (h, w), h, w,
+                                     self.window_size, self.window_size // 2)
         return (
             wa.pallas_mode() == "rdstb"
             and use_fast_path(self.dtype)
@@ -234,7 +234,27 @@ class RDSTB(nn.Module):
                 self.growth_rate, int(self.num_blocks), self.num_heads,
                 self.mlp_ratio, jnp.dtype(self.dtype).itemsize)
             and (_jax.default_backend() == "tpu" or wa.pallas_interpret())
+            and self._fused_rdstb_probe_ok(x_size, ws, shift)
         )
+
+    def _fused_rdstb_probe_ok(self, x_size, ws, shift) -> bool:
+        """One cached probe-compile per geometry on real TPU: a VMEM
+        over-admit falls back to the pair path instead of dying inside
+        Mosaic when the full model compiles (see fused_rdstb_probe)."""
+        import os
+
+        import jax as _jax
+
+        from rdst_tpu.kernels import window_attention as wa
+        from rdst_tpu.kernels.rdstb_block import fused_rdstb_probe
+
+        if wa.pallas_interpret() or _jax.default_backend() != "tpu":
+            return True  # interpret mode never Mosaic-compiles
+        h, w = x_size
+        return fused_rdstb_probe(
+            (h, w), ws, shift, self.input_dim, self.growth_rate,
+            int(self.num_blocks), self.num_heads, self.mlp_ratio,
+            self.pre_norm, int(os.environ.get("RDST_TPU_PALLAS_IPP", "1")))
 
     def _fused_rdstb(self, x, x_size):
         """Whole-RDSTB Pallas path: declares the identical param tree

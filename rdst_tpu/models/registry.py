@@ -29,8 +29,10 @@ _ALIASES = {"swin": "swinir"}
 
 
 def register(name: str):
+    # canonicalize like build_generator's lookup does, so a custom model
+    # registered as e.g. 'MyNet' stays reachable from the config
     def deco(fn):
-        MODEL_REGISTRY[name] = fn
+        MODEL_REGISTRY[str(name).strip().lower()] = fn
         return fn
 
     return deco

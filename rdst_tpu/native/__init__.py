@@ -25,8 +25,28 @@ _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "image_ops.cpp")
 _LIB = os.path.join(_DIR, "libimage_ops.so")
 
+_STAMP = _LIB + ".buildinfo"
+
 _lib = None
 _failed = False  # a failed build is cached: never re-spawn g++ per call
+
+
+def _host_stamp() -> str:
+    """Identify the build host well enough to catch -march=native
+    mismatches: a checkout shared across heterogeneous machines must
+    rebuild instead of loading an .so with illegal instructions."""
+    import platform
+
+    tag = f"{platform.machine()}"
+    try:  # ISA feature flags (Linux); absence degrades to machine arch
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    tag += ":" + ",".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:  # pragma: no cover
+        pass
+    return tag
 
 
 def _build() -> bool:
@@ -35,11 +55,24 @@ def _build() -> bool:
             ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC,
              "-o", _LIB],
             check=True, capture_output=True, timeout=120)
+        with open(_STAMP, "w") as f:
+            f.write(_host_stamp())
         return True
     except Exception as e:  # pragma: no cover - toolchain-dependent
         warnings.warn(f"rdst_tpu.native: build failed ({e}); "
                       "falling back to the numpy/cv2 data path")
         return False
+
+
+def _cached_build_ok() -> bool:
+    if not os.path.exists(_LIB) or (
+            os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+        return False
+    try:  # arch stamp must match this host (see _host_stamp)
+        with open(_STAMP) as f:
+            return f.read() == _host_stamp()
+    except OSError:
+        return False  # pre-stamp builds rebuild once
 
 
 def load():
@@ -49,8 +82,7 @@ def load():
         return _lib
     if _failed or os.environ.get("RDST_TPU_NATIVE", "") == "0":
         return None
-    if not os.path.exists(_LIB) or (
-            os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+    if not _cached_build_ok():
         if not _build():
             _failed = True
             return None

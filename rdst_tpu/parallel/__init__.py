@@ -3,8 +3,10 @@
 from rdst_tpu.parallel.mesh import (  # noqa: F401
     batch_sharding,
     make_mesh,
+    make_mesh_from_paras,
     replicate_tree,
     replicated,
     shard_batch,
     shard_batch_padded,
 )
+from rdst_tpu.parallel.sharding import shard_params_tp  # noqa: F401

@@ -51,6 +51,52 @@ def make_mesh(axes: Sequence[str] = ("data",), shape: Optional[Sequence[int]] = 
     return Mesh(devices, tuple(axes))
 
 
+_DEFAULT_AXES = ("data", "model", "seq")
+
+
+def make_mesh_from_paras(paras) -> Mesh:
+    """Config-driven mesh (SURVEY §2.11 first-class requirement).
+
+    Config keys (both optional, production entry points all route here):
+      mesh_shape = [2, 2, 2]        ; device grid; one -1 wildcard allowed
+      mesh_axes  = ['data', 'model', 'seq']  ; names, default by position
+
+    Default (no keys): a 1-D ('data',) mesh over all local devices —
+    identical to the pre-config behavior. Axis meanings: 'data' shards
+    batches (DP), 'model' shards parameter output-features (TP),
+    'seq' shards activation rows (SP / halo-exchanged window grid).
+    """
+    shape = paras.get("mesh_shape") if hasattr(paras, "get") else None
+    axes = paras.get("mesh_axes") if hasattr(paras, "get") else None
+    if shape is None:
+        return make_mesh(tuple(axes) if axes else ("data",))
+    shape = [int(s) for s in shape]
+    if axes is None:
+        if len(shape) > len(_DEFAULT_AXES):
+            raise ValueError(
+                f"mesh_shape has {len(shape)} dims; name them explicitly "
+                f"via mesh_axes (defaults cover {_DEFAULT_AXES})")
+        axes = _DEFAULT_AXES[: len(shape)]
+    axes = tuple(str(a) for a in axes)
+    if len(axes) != len(shape):
+        raise ValueError(f"mesh_axes {axes} and mesh_shape {shape} disagree")
+    devices = jax.devices()
+    if shape.count(-1) > 1:
+        raise ValueError(f"mesh_shape {shape} has more than one -1 wildcard")
+    if -1 in shape:
+        known = int(np.prod([s for s in shape if s != -1]))
+        if known <= 0 or len(devices) % known:
+            raise ValueError(
+                f"mesh_shape {shape}: cannot infer -1 from {len(devices)} devices")
+        shape[shape.index(-1)] = len(devices) // known
+    need = int(np.prod(shape))
+    if need > len(devices):
+        raise ValueError(
+            f"mesh_shape {shape} needs {need} devices, only "
+            f"{len(devices)} visible")
+    return make_mesh(axes, shape, devices[:need])
+
+
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     """Shard the leading (batch) dimension over ``axis``."""
     return NamedSharding(mesh, P(axis))
@@ -63,7 +109,7 @@ def replicated(mesh: Mesh) -> NamedSharding:
 _REPLICATION_WARNED = False
 
 
-def shard_batch(mesh: Mesh, batch, axis: str = "data"):
+def shard_batch(mesh: Mesh, batch, axis: str = "data", spatial: Optional[str] = None):
     """device_put a host batch with batch-dim sharding.
 
     Leaves whose leading dim does not divide the mesh axis are
@@ -73,12 +119,20 @@ def shard_batch(mesh: Mesh, batch, axis: str = "data"):
     parallelism). The first such replicated array-leaf emits a one-time
     warning so a misconfigured batch size doesn't silently burn the
     whole mesh on redundant work.
+
+    ``spatial`` names a mesh axis to additionally shard the H dim of
+    NHWC image leaves over (sequence parallelism): GSPMD then keeps the
+    window grid row-split across devices and inserts halo exchanges at
+    shifted-window/conv boundaries.
     """
     n = mesh.shape[axis]
     sharding = batch_sharding(mesh, axis)
+    sp = spatial if spatial in mesh.shape and mesh.shape[spatial] > 1 else None
 
     def put(x):
         if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] % n == 0:
+            if sp and x.ndim == 4 and x.shape[1] % mesh.shape[sp] == 0:
+                return jax.device_put(x, NamedSharding(mesh, P(axis, sp)))
             return jax.device_put(x, sharding)
         if hasattr(x, "ndim") and x.ndim >= 2 and n > 1:
             global _REPLICATION_WARNED

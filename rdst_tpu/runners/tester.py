@@ -32,7 +32,8 @@ import numpy as np
 from rdst_tpu.data import ops
 from rdst_tpu.data.readers import make_test_dataset, testing_patient_ids
 from rdst_tpu.models import build_generator
-from rdst_tpu.parallel import make_mesh, replicate_tree, shard_batch_padded
+from rdst_tpu.parallel import (make_mesh_from_paras, replicate_tree,
+                               shard_batch_padded, shard_params_tp)
 
 
 def _fancy(msg: str) -> str:
@@ -44,7 +45,7 @@ class SRTester:
     def __init__(self, paras):
         self.paras = paras
         self.verbose = paras.verbose
-        self.mesh = make_mesh()
+        self.mesh = make_mesh_from_paras(paras)
         self.bicubic = paras.get("feature_generator") == "bicubic"
 
         # inference_dtype = 'bfloat16' engages the production fast path
@@ -62,10 +63,7 @@ class SRTester:
         mean = std = None
         norm = paras.normal_inputs or ""
         if not self.bicubic and ("zero_mean" in norm or "unit_std" in norm):
-            from rdst_tpu.data.readers import make_train_valid_datasets
-
-            ds_train, _ = make_train_valid_datasets(paras)
-            mean, std = ds_train.mean, ds_train.std
+            mean, std = self._resolve_norm_stats()
         self.model = (None if self.bicubic
                       else build_generator(paras, mean, std,
                                            dtype=self.infer_dtype))
@@ -103,6 +101,32 @@ class SRTester:
         }
         self.log_file = join(self.output_root, "testing_log.txt")
 
+    def _model_path(self):
+        return (self.paras.get("well_trained_single_scale_model_g")
+                or self.paras.get("well_trained_model_g_x4"))
+
+    def _resolve_norm_stats(self):
+        """Training-set mean/std for zero_mean/unit_std configs.
+
+        Prefer the ``<snapshot>.stats.json`` sidecar the trainer writes
+        next to every msgpack (the snapshot is then self-contained, like
+        the reference's in-checkpoint MeanShift); fall back to
+        recomputing from the training volumes only when no sidecar
+        exists (old snapshots)."""
+        path = self._model_path()
+        if path:
+            import json
+
+            sidecar = os.path.splitext(path)[0] + ".stats.json"
+            if exists(sidecar):
+                with open(sidecar) as f:
+                    stats = json.load(f)
+                return stats["mean"], stats["std"]
+        from rdst_tpu.data.readers import make_train_valid_datasets
+
+        ds_train, _ = make_train_valid_datasets(self.paras)
+        return ds_train.mean, ds_train.std
+
     # -- setup ---------------------------------------------------------------
 
     def setup(self):
@@ -112,12 +136,14 @@ class SRTester:
         if self.bicubic:
             self.write_log(_fancy("Bicubic pass-through mode"))
             return
-        path = self.paras.get("well_trained_single_scale_model_g") or self.paras.get(
-            "well_trained_model_g_x4")
+        path = self._model_path()
         if not path:
             raise ValueError("no well-trained model path configured")
         self.params = self.load_params(path)
-        self.params = replicate_tree(self.mesh, self.params)
+        if self.mesh.shape.get("model", 1) > 1:  # TP inference
+            self.params = shard_params_tp(self.mesh, self.params)
+        else:
+            self.params = replicate_tree(self.mesh, self.params)
         self.write_log(_fancy(f"Loaded well-trained model: {path}"))
 
     def load_params(self, path: str):
@@ -154,7 +180,20 @@ class SRTester:
                     lambda r, x: self.model.init(r, x, method=init_method)
                 )(jax.random.PRNGKey(0), x0)
             with open(path, "rb") as f:
-                return serialization.from_bytes(jax.device_get(template), f.read())
+                data = f.read()
+            try:
+                return serialization.from_bytes(jax.device_get(template), data)
+            except (ValueError, KeyError) as e:
+                # per-scale-param families (MDSR heads/tails, IPT queries)
+                # fail here when a TESTING scale was never trained — name
+                # the actual problem instead of the raw key mismatch
+                raise ValueError(
+                    f"snapshot {path} does not match the expected parameter "
+                    f"tree for testing scales {self.sr_scales} (training "
+                    f"scales {self.paras.get('all_sr_scales')}): most likely "
+                    "the model was never trained at one of the testing "
+                    "scales, so its per-scale branch is absent from the "
+                    f"snapshot. Underlying error: {e}") from e
         if ext in (".pt", ".tar", ".pth"):
             from rdst_tpu.checkpoint.torch_import import load_torch_checkpoint
 

@@ -36,8 +36,9 @@ import numpy as np
 
 from rdst_tpu.losses.sr_loss import SRLoss
 from rdst_tpu.models import build_generator
-from rdst_tpu.parallel import (make_mesh, replicate_tree, shard_batch,
-                               shard_batch_padded)
+from rdst_tpu.parallel import (make_mesh_from_paras, replicate_tree,
+                               shard_batch, shard_batch_padded,
+                               shard_params_tp)
 from rdst_tpu.utils.optim import Timer, make_optimizer
 
 
@@ -67,13 +68,24 @@ class SRTrainer:
         self.ds_valid = ds_valid
         self.verbose = paras.verbose
 
-        self.mesh = make_mesh()
+        # config-driven mesh: mesh_shape/mesh_axes keys select dp/tp/sp
+        # (default: 1-D data-parallel mesh over all local devices)
+        self.mesh = make_mesh_from_paras(paras)
+        self.spatial_axis = "seq" if self.mesh.shape.get("seq", 1) > 1 else None
         self.rng = np.random.default_rng(seed)
         self.jax_rng = jax.random.PRNGKey(seed)
 
         mean = getattr(ds_train, "mean", [0.0])
         std = getattr(ds_train, "std", [1.0])
-        self.model = build_generator(paras, mean, std)
+        # bf16 mixed-precision training (training_dtype = 'bfloat16'):
+        # bf16 activations via the flax computation dtype, params and
+        # optimizer state stay f32 (param_dtype default), and the loss
+        # is computed in f32 (pred upcast in g_loss_and_report)
+        tdt = str(paras.get("training_dtype", "") or "").lower()
+        self.training_dtype = (jnp.bfloat16 if tdt in ("bfloat16", "bf16")
+                               else jnp.float32)
+        self.model = build_generator(paras, mean, std,
+                                     dtype=self.training_dtype)
         self.tx = make_optimizer(paras)
         self.loss = SRLoss(paras)
 
@@ -156,6 +168,7 @@ class SRTrainer:
             params = jax.jit(
                 lambda r, x: self.model.init(r, x, method=init_method)
             )(jax.random.PRNGKey(0), x0)
+        params, tl_log = self.weights_init(params)
         opt_state = self.tx.init(params)
         self.state = TrainState(params, opt_state)
 
@@ -163,6 +176,8 @@ class SRTrainer:
             hr = int(self.paras.patch_size * max(self.ds_train.sr_scales))
             hr0 = jnp.zeros((1, hr, hr, self.paras.input_channel), jnp.float32)
             self.d_state = self.loss.adversarial.init(jax.random.PRNGKey(1), hr0)
+            tl_log += self._weights_init_d()
+        self.write_log(tl_log.rstrip("\n"))
 
         if exists(join(self.checkpoint_dir, "host_state.json")):
             self.load_checkpoint()
@@ -172,8 +187,93 @@ class SRTrainer:
         else:
             self.write_log(fancy_print("Model initialized from scratch"))
 
-        self.state.params = replicate_tree(self.mesh, self.state.params)
-        self.state.opt_state = replicate_tree(self.mesh, self.state.opt_state)
+        if self.mesh.shape.get("model", 1) > 1:
+            # TP: parameter output-features split over the 'model' axis.
+            # opt_state moments mirror the params tree (paths included),
+            # so the same spec rule places them consistently.
+            self.state.params = shard_params_tp(self.mesh, self.state.params)
+            self.state.opt_state = shard_params_tp(self.mesh, self.state.opt_state)
+        else:
+            self.state.params = replicate_tree(self.mesh, self.state.params)
+            self.state.opt_state = replicate_tree(self.mesh, self.state.opt_state)
+
+    # -- transfer learning (reference weights_init) ---------------------------
+
+    def _tl_arch(self) -> str:
+        """Generator arch key for the torch-import mapper registry."""
+        raw = self.paras.get("feature_generator") or self.paras.get("sr_generator")
+        name = str(raw).strip().lower()
+        return {"swin": "swinir", "convnet-large": "convnext",
+                "convnet-lite": "convnext"}.get(name, name)
+
+    def _load_pretrained_tree(self, path: str, template):
+        """Weights-only load of a generator variables tree.
+
+        Accepts this framework's flax msgpack snapshots
+        (``models/{state}_model_g[_best].msgpack`` / the weights assets)
+        and torch ``.pt``/``.pth`` state_dicts routed through
+        checkpoint/torch_import (shape-verified against the fresh init).
+        """
+        template = jax.device_get(template)
+        if path.endswith((".pt", ".pth")):
+            from rdst_tpu.checkpoint.torch_import import (
+                load_torch_checkpoint, verify_params_match)
+
+            converted = load_torch_checkpoint(path, self._tl_arch())
+            verify_params_match(converted, template)
+            new = dict(template)
+            new["params"] = jax.tree.map(
+                lambda t, v: np.asarray(v, dtype=np.asarray(t).dtype),
+                template["params"], converted["params"])
+            return new
+        from flax import serialization
+
+        with open(path, "rb") as f:
+            return serialization.from_bytes(template, f.read())
+
+    def weights_init(self, params):
+        """Pre-trained warm-start for G — the reference's ``weights_init``
+        (/root/reference/models/trans_sr_trainer.py:246-283): when
+        ``pre_trained_g`` names an existing file, initialize the
+        generator weights from it (no optimizer state); otherwise keep
+        the default flax init. Returns (params, plog)."""
+        plog = ""
+        g_path = self.paras.get("pre_trained_g")
+        if isinstance(g_path, str) and g_path not in ("", "None"):
+            if exists(g_path):
+                params = self._load_pretrained_tree(g_path, params)
+                plog += f"Init G with pre-trained model: {g_path}\n"
+            else:
+                raise FileNotFoundError(
+                    f"pre_trained_g points at a missing file: {g_path}")
+        else:
+            plog += "Initialize G by default (flax init)\n"
+        return params, plog
+
+    def _weights_init_d(self) -> str:
+        """Discriminator half of weights_init: weights-only restore of
+        the adversarial state from a ``{state}_loss_d.msgpack`` snapshot
+        (opt_state in the snapshot is discarded and re-initialized)."""
+        d_path = self.paras.get("pre_trained_d")
+        if not (isinstance(d_path, str) and d_path not in ("", "None")):
+            return "Initialize D by default (flax init)\n"
+        if not exists(d_path):
+            raise FileNotFoundError(
+                f"pre_trained_d points at a missing file: {d_path}")
+        if d_path.endswith((".pt", ".pth")):
+            raise ValueError(
+                "pre_trained_d torch import is not mapped — export the "
+                "discriminator to msgpack (models/{state}_loss_d.msgpack) "
+                "and point pre_trained_d at that instead")
+        from flax import serialization
+
+        with open(d_path, "rb") as f:
+            restored = serialization.from_bytes(
+                jax.device_get(self.d_state), f.read())
+        restored["opt_state"] = self.loss.adversarial.tx.init(
+            restored["params"])
+        self.d_state = restored
+        return f"Init Adversarial Loss with pre-trained model: {d_path}\n"
 
     def save_checkpoint(self):
         import orbax.checkpoint as ocp
@@ -223,6 +323,21 @@ class SRTrainer:
         if exists(reports):
             self.quick_validation_reports = list(np.load(reports, allow_pickle=True))
 
+    def _write_stats_sidecar(self, snapshot_path: str) -> None:
+        """Persist the training-set normalization stats next to the
+        snapshot so test-time zero_mean/unit_std configs are
+        self-contained (the reference bakes them into the torch
+        checkpoint's MeanShift convs, networks/common.py:151-167;
+        here they are module attrs, not params)."""
+        mean = getattr(self.ds_train, "mean", None)
+        std = getattr(self.ds_train, "std", None)
+        if mean is None and std is None:
+            return
+        stats = {"mean": np.asarray(mean, np.float64).tolist(),
+                 "std": np.asarray(std, np.float64).tolist()}
+        with open(os.path.splitext(snapshot_path)[0] + ".stats.json", "w") as f:
+            json.dump(stats, f)
+
     def save_models(self, training_state: str):
         from flax import serialization
 
@@ -230,6 +345,7 @@ class SRTrainer:
         path = join(self.dirs["models"], f"{training_state}_model_g.msgpack")
         with open(path, "wb") as f:
             f.write(serialization.to_bytes(params))
+        self._write_stats_sidecar(path)
         self.write_log(f"Saved model snapshot: {path}")
         if self.d_state is not None:
             dpath = join(self.dirs["models"], f"{training_state}_loss_d.msgpack")
@@ -262,7 +378,9 @@ class SRTrainer:
         rs = self.residual_scale
 
         def g_loss_and_report(p, batch, rng, d_state, sr_factor):
-            pred = forward(p, batch, rng, sr_factor)
+            # loss in f32 regardless of the activation dtype (bf16
+            # mixed-precision keeps the loss/grad accumulation exact)
+            pred = forward(p, batch, rng, sr_factor).astype(jnp.float32)
             if rs > 0:  # model embedding (meta_sr_trainer.py:111-112)
                 pred = pred * (1.0 - rs) + batch["res"] * rs
             # one shared code path with SRLoss.__call__ (no divergence)
@@ -311,8 +429,9 @@ class SRTrainer:
 
             @partial(jax.jit, static_argnums=(2, 3))
             def eval_step(params, x, sr_factor, sr_scale=None):
-                return model.apply(params, x, sr_scale if sr_scale is not None
-                                   else sr_factor)
+                out = model.apply(params, x, sr_scale if sr_scale is not None
+                                  else sr_factor)
+                return out.astype(jnp.float32)  # metrics stay f32 on host
 
             self._eval_fns[shape] = eval_step
         return self._eval_fns[shape]
@@ -376,7 +495,8 @@ class SRTrainer:
                                  else batch["sr_factor"])
                     host_batch["sr_scales"] = np.full(
                         (batch["in"].shape[0], 1), scale_val, np.float32)
-                device_batch = shard_batch(self.mesh, host_batch)
+                device_batch = shard_batch(self.mesh, host_batch,
+                                           spatial=self.spatial_axis)
 
                 self.jax_rng, step_rng = jax.random.split(self.jax_rng)
                 gan_active = (self.loss.adversarial is not None and
@@ -518,6 +638,7 @@ class SRTrainer:
         path = join(self.dirs["models"], f"{ts}_model_g_best.msgpack")
         with open(path, "wb") as f:
             f.write(serialization.to_bytes(jax.device_get(self.state.params)))
+        self._write_stats_sidecar(path)
         return (f"\nNew best quick-eva PSNR {score:.2f} dB -> "
                 f"snapshot kept at {path}")
 

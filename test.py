@@ -14,6 +14,8 @@ def main():
     parser.add_argument("--config-file", type=str, required=True, metavar="CONFIG",
                         help="Path to config file.")
     parser.add_argument("--gpu-id", type=int, metavar="GPU")
+    parser.add_argument("overrides", nargs="*", metavar="KEY=VALUE",
+                        help="Config overrides, e.g. mesh_shape=[2,2,2].")
     args = parser.parse_args()
 
     if args.gpu_id is not None and args.gpu_id == -1:
@@ -28,6 +30,7 @@ def main():
     if args.gpu_id is not None:
         paras.set("gpu_id", args.gpu_id)
         paras.set("eva_gpu_id", args.gpu_id)
+    paras.apply_overrides(args.overrides)
 
     tester = TransSRTester(paras)
     tester.setup()

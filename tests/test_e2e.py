@@ -244,6 +244,154 @@ def test_golden_trained_model_quality(tmp_path):
     assert mean_psnr >= 27.5, mean_psnr
 
 
+def test_bf16_mixed_precision_training(e2e_env):
+    """training_dtype='bfloat16': bf16 activations, f32 params/optimizer
+    and f32 loss. The losses must track the f32 twin closely and the
+    quick-eva quality must match within bf16 noise."""
+    import jax
+
+    from rdst_tpu.data.readers import make_train_valid_datasets
+    from rdst_tpu.runners.trainer import SRTrainer
+
+    root, base = e2e_env
+
+    def run(name, dtype):
+        p = ParametersLoader.from_dict(base.to_dict())
+        p.set("model_name", name)
+        p.set("training_dtype", dtype)
+        p.set("epochs_in_total", {"WarmUP": 4})
+        p.set("check_every", 4)
+        p.set("quick_eva_num_samples", 2)
+        ds_train, ds_valid = make_train_valid_datasets(p)
+        tr = SRTrainer(p, ds_train, ds_valid, seed=0)
+        tr.setup()
+        tr.train()
+        return tr
+
+    tr_bf = run("BF16_TRAIN", "bfloat16")
+    import jax.numpy as jnp
+
+    assert tr_bf.training_dtype == jnp.bfloat16
+    # params and optimizer state stayed f32
+    assert all(np.asarray(p).dtype == np.float32
+               for p in jax.tree.leaves(jax.device_get(tr_bf.state.params)))
+    tr_f32 = run("F32_TRAIN", "float32")
+    a = np.asarray(tr_bf.training_loss_records["WarmUP"])
+    b = np.asarray(tr_f32.training_loss_records["WarmUP"])
+    assert a.shape == b.shape and np.isfinite(a).all()
+    # same data/rng order; activations-only bf16 keeps the loss close
+    assert np.abs(a - b).max() < 0.1 * np.abs(b).mean() + 0.02, (a, b)
+
+    def mean_psnr(tr):
+        rep = tr.quick_validation_reports[-1]
+        return float(np.mean(rep["psnr_4.0"]))
+
+    assert abs(mean_psnr(tr_bf) - mean_psnr(tr_f32)) < 0.5
+
+
+def test_config_driven_mesh_training(e2e_env):
+    """mesh_shape=[2,2,2] from the CONFIG drives a dp x tp x sp mesh
+    through the production trainer with no source edits (VERDICT r2 #4);
+    params get TP-sharded, batches get DP+SP sharded, training steps run."""
+    import jax
+
+    from rdst_tpu.data.readers import make_train_valid_datasets
+    from rdst_tpu.runners.trainer import SRTrainer
+
+    root, base = e2e_env
+    p = ParametersLoader.from_dict(base.to_dict())
+    p.set("model_name", "MESH222")
+    p.set("mesh_shape", [2, 2, 2])
+    p.set("epochs_in_total", {"WarmUP": 2})
+    p.set("check_every", 2)
+    p.set("quick_eva_num_samples", 1)
+
+    ds_train, ds_valid = make_train_valid_datasets(p)
+    trainer = SRTrainer(p, ds_train, ds_valid, seed=0)
+    assert dict(trainer.mesh.shape) == {"data": 2, "model": 2, "seq": 2}
+    assert trainer.spatial_axis == "seq"
+    trainer.setup()
+    qkv = trainer.state.params["params"]["body_0"]["body_0"]["body"][
+        "blocks_0"]["attn"]["qkv"]["kernel"]
+    assert "model" in str(qkv.sharding.spec)
+    trainer.train()
+    assert len(trainer.training_loss_records["WarmUP"]) == 2
+    assert all(np.isfinite(v) for v in trainer.training_loss_records["WarmUP"])
+
+
+def test_pretrained_warm_start(e2e_env):
+    """pre_trained_g / pre_trained_d weights-only warm-start (reference
+    weights_init, trans_sr_trainer.py:246-283): G from a flax msgpack
+    snapshot AND from a torch .pt state_dict (via checkpoint/
+    torch_import); D from a d_state msgpack with opt_state reset."""
+    import jax
+    from flax import serialization
+    from flax.traverse_util import flatten_dict
+
+    from rdst_tpu.data.readers import make_train_valid_datasets
+    from rdst_tpu.runners.trainer import SRTrainer
+
+    root, base = e2e_env
+    snap = (root / "outputs" / "RDST_TINY_OASIS_SRx4_None" / "models"
+            / "WarmUP_model_g.msgpack")
+    if not snap.exists():
+        pytest.skip("depends on test_train_resume_test artifacts")
+
+    def setup_trainer(name, seed=1, **keys):
+        p = ParametersLoader.from_dict(base.to_dict())
+        p.set("model_name", name)
+        for k, v in keys.items():
+            p.set(k, v)
+        ds_train, ds_valid = make_train_valid_datasets(p)
+        tr = SRTrainer(p, ds_train, ds_valid, seed=seed)
+        tr.setup()
+        return tr
+
+    def leaves(tree):
+        return flatten_dict(jax.device_get(tree)["params"])
+
+    want = serialization.msgpack_restore(snap.read_bytes())
+
+    # 1) flax msgpack snapshot -> identical weights, fresh optimizer
+    tr = setup_trainer("WS_MSGPACK", pre_trained_g=str(snap))
+    got = leaves(tr.state.params)
+    for k, v in leaves(want).items():
+        assert np.array_equal(np.asarray(got[k]), v), k
+    log = (root / "outputs" / "WS_MSGPACK_None" / "training_log.txt").read_text()
+    assert "Init G with pre-trained model" in log
+
+    # 2) torch .pt state_dict routed through torch_import
+    from rdst_tpu.checkpoint.torch_export import save_torch_checkpoint
+
+    pt = root / "warm_start_g.pt"
+    save_torch_checkpoint(want, str(pt), arch="rdst", mean=[0.0], std=[1.0])
+    tr2 = setup_trainer("WS_TORCH", pre_trained_g=str(pt))
+    got2 = leaves(tr2.state.params)
+    for k, v in leaves(want).items():
+        assert np.allclose(np.asarray(got2[k]), v, atol=0), k
+
+    # 3) missing path fails loudly (NOT the reference's silent fallback)
+    with pytest.raises(FileNotFoundError):
+        setup_trainer("WS_MISSING", pre_trained_g=str(root / "nope.msgpack"))
+
+    # 4) discriminator warm-start from a d_state msgpack
+    gan_keys = dict(
+        gan_type="GAN",
+        training_losses=["L1", "GAN"],
+        loss_scalars={"WarmUP": {"L1": 1, "GAN": 0.1}},
+        epochs_in_total={"WarmUP": 0},
+    )
+    tr3 = setup_trainer("WS_GAN_SRC", seed=3, **gan_keys)
+    dfile = root / "warm_start_d.msgpack"
+    dfile.write_bytes(serialization.to_bytes(jax.device_get(tr3.d_state)))
+    tr4 = setup_trainer("WS_GAN_DST", seed=4, pre_trained_d=str(dfile),
+                        **gan_keys)
+    a = flatten_dict(jax.device_get(tr3.d_state)["params"])
+    b = flatten_dict(jax.device_get(tr4.d_state)["params"])
+    for k in a:
+        assert np.array_equal(np.asarray(a[k]), np.asarray(b[k])), k
+
+
 def test_metasr_residual_scale_blending(e2e_env):
     """scale_free training + eval with residual_scale=0.8: the model
     embedding blends rec*(1-rs) + interpolated-LR*rs at every stage

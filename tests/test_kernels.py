@@ -309,6 +309,35 @@ class TestFusedRDSTB:
         denom = np.abs(ref).max()
         assert np.abs(got - ref).max() / denom < 0.02
 
+    @pytest.mark.parametrize("groups", ["qkv", "mlp,proj", "conv", "all"])
+    def test_int8_quant_tracks_bf16(self, rng, monkeypatch, groups):
+        """RDST_TPU_PALLAS_QUANT int8 matmul groups: the quantized
+        mega-kernel must track the bf16 kernel within int8 noise
+        (throughput/quality trade measured on hardware — PERF.md)."""
+        import jax
+        import jax.numpy as jnp
+
+        h, w, c0 = 16, 24, 12
+        xf = jnp.asarray(rng.normal(0, 0.5, (2, h * w, c0)), jnp.float32)
+        x16 = xf.astype(jnp.bfloat16)
+        monkeypatch.setenv("RDST_TPU_PALLAS_INTERPRET", "1")
+        monkeypatch.setenv("RDST_TPU_PALLAS", "rdstb")
+        blk = self._mk(jnp.bfloat16)
+        params = blk.init(jax.random.PRNGKey(0), x16, (h, w))
+        base = np.asarray(blk.apply(params, x16, (h, w)), np.float32)
+
+        from rdst_tpu.kernels import rdstb_block
+
+        monkeypatch.setenv("RDST_TPU_PALLAS_QUANT", groups)
+        rdstb_block.fused_rdstb.clear_cache()
+        got = np.asarray(blk.apply(params, x16, (h, w)), np.float32)
+        rdstb_block.fused_rdstb.clear_cache()
+
+        denom = np.abs(base).max()
+        err = np.abs(got - base).max() / denom
+        assert err < 0.06, (groups, err)  # int8 noise, not a wrong path
+        assert err > 0, "quant path must actually engage"
+
     def test_conv3x3_matches_xla(self, rng):
         import jax
         import jax.numpy as jnp

@@ -23,6 +23,9 @@ def main():
     parser.add_argument("--seg-loss", action="store_true",
                         help="Use the segmentation-label training dataset.")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("overrides", nargs="*", metavar="KEY=VALUE",
+                        help="Config overrides, e.g. mesh_shape=[2,2,2] "
+                             "batch_size=16 (values eval'd like .ini values).")
     args = parser.parse_args()
 
     if args.gpu_id is not None and args.gpu_id == -1:
@@ -38,6 +41,7 @@ def main():
     if args.gpu_id is not None:
         paras.set("gpu_id", args.gpu_id)
         paras.set("eva_gpu_id", args.gpu_id)
+    paras.apply_overrides(args.overrides)
 
     ds_train, ds_valid = make_train_valid_datasets(paras, seg_loss=args.seg_loss)
     print(f"DS info: {len(ds_train)} training samples, and "
