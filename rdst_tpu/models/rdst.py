@@ -291,12 +291,18 @@ class RDSTB(nn.Module):
 
         # default 1: measured faster than 2 for the mega-kernel
         ipp = int(os.environ.get("RDST_TPU_PALLAS_IPP", "1"))
+        from rdst_tpu.kernels.swin_block import quant_flags
+
         return fused_rdstb(
             x.astype(self.dtype), dstls, wc, bc,
             num_heads=self.num_heads, x_size=(h, w), window_size=ws,
             shift=shift, growth=self.growth_rate,
             adapter_prenorm=self.pre_norm, images_per_program=ipp,
-            interpret=wa.pallas_interpret())
+            interpret=wa.pallas_interpret(),
+            # resolved HERE so the jit cache keys on the active flags
+            # (a trace-time env read inside the cached callee would go
+            # stale when the env changes between outer traces)
+            quant=quant_flags())
 
     @nn.compact
     def __call__(self, x, x_size, deterministic: bool = True):

@@ -6,8 +6,10 @@ fori_loop sweep per measurement, single fetch) across Pallas modes and
 images_per_program settings, sharing the model/params/data setup so each
 extra point only pays its own compile + first-execution cost.
 
-Usage:  python tools/kernel_sweep.py [mode[:ipp] ...]
-        default points: 0 swin swin:4 pair pair:4 pack pack:4
+Usage:  python tools/kernel_sweep.py [mode[+quant][:ipp] ...]
+        default points: 0 swin pair rdstb rdstb:4 pack
+        quant = dot-joined int8 groups for the rdstb mega-kernel,
+        e.g. rdstb+qkv, rdstb+qkv.mlp, rdstb+all (RDST_TPU_PALLAS_QUANT)
 
 Each mode is traced fresh (the mode env vars are read at trace time).
 Prints one table row per point; paste winners into PERF.md and make the
@@ -60,11 +62,24 @@ def main():
     rows = []
     for point in points:
         mode, _, ipp = point.partition(":")
+        mode, _, quant = mode.partition("+")
         os.environ["RDST_TPU_PALLAS"] = mode
+        if quant:  # int8 groups, dot-joined (e.g. qkv.mlp)
+            os.environ["RDST_TPU_PALLAS_QUANT"] = quant.replace(".", ",")
+        else:
+            os.environ.pop("RDST_TPU_PALLAS_QUANT", None)
         if ipp:  # unannotated points use each kernel's own default
             os.environ["RDST_TPU_PALLAS_IPP"] = ipp
         else:
             os.environ.pop("RDST_TPU_PALLAS_IPP", None)
+
+        # kernel wrappers read some variant env vars at trace time; their
+        # jit caches would otherwise serve stale executables across points
+        from rdst_tpu.kernels import rdstb_block, swin_block
+
+        swin_block.fused_swin_block.clear_cache()
+        swin_block.fused_swin_pair.clear_cache()
+        rdstb_block.fused_rdstb.clear_cache()
 
         def eva_volume(p, hr):
             lr = resize_nhwc(hr, LR_SHAPE[:2], "cubic").astype(dtype)
