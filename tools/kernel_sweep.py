@@ -6,14 +6,19 @@ fori_loop sweep per measurement, single fetch) across Pallas modes and
 images_per_program settings, sharing the model/params/data setup so each
 extra point only pays its own compile + first-execution cost.
 
-Usage:  python tools/kernel_sweep.py [mode[+quant][:ipp] ...]
+Usage:  python tools/kernel_sweep.py [mode[+flags][:ipp] ...]
         default points: 0 swin pair rdstb rdstb:4 pack
-        quant = dot-joined int8 groups for the rdstb mega-kernel,
-        e.g. rdstb+qkv, rdstb+qkv.mlp, rdstb+all (RDST_TPU_PALLAS_QUANT)
+        flags = dot-joined extras: int8 quant groups for the rdstb
+        mega-kernel (qkv/mlp/proj/conv/all -> RDST_TPU_PALLAS_QUANT) and
+        'bcast' (broadcast-built K/V stacks -> RDST_TPU_PALLAS_STACK).
+        e.g. rdstb+qkv.mlp, rdstb+bcast, rdstb+bcast.all
 
 Each mode is traced fresh (the mode env vars are read at trace time).
-Prints one table row per point; paste winners into PERF.md and make the
-best mode the bench default.
+Prints one table row per point, plus FLOPs/slice (XLA cost analysis of
+the mode-0 path: Pallas-internal FLOPs are invisible to the counter, so
+the XLA path is the one honest numerator for every mode) and MFU vs the
+chip's bf16 peak (SWEEP_PEAK_TFLOPS, default 197 = v5e). Paste winners
+into PERF.md and make the best mode the bench default.
 """
 
 import os
@@ -59,13 +64,35 @@ def main():
     lr0 = resize_nhwc(volumes[0], LR_SHAPE[:2], "cubic")
     ref32 = np.asarray(jax.jit(model32.apply)(params, lr0))
 
+    # FLOPs per slice from the XLA path (same math every mode runs)
+    def eva_volume0(p, hr):
+        lr = resize_nhwc(hr, LR_SHAPE[:2], "cubic").astype(dtype)
+        sr = model.apply(p, lr).astype(jnp.float32)
+        return jax_metrics.psnr(jax_metrics.crop_margin(hr, 4),
+                                jax_metrics.crop_margin(sr, 4))
+
+    cost = jax.jit(eva_volume0).lower(params, volumes[0]).compile(
+        ).cost_analysis()
+    if isinstance(cost, list):
+        cost = cost[0]
+    flops_per_slice = float(cost.get("flops", float("nan"))) / SLICES_PER_VOLUME
+    peak_tflops = float(os.environ.get("SWEEP_PEAK_TFLOPS", 197.0))
+    print(f"FLOPs/slice (XLA path): {flops_per_slice / 1e9:.2f} G;"
+          f" MFU denominator {peak_tflops:.0f} TFLOP/s bf16", flush=True)
+
     rows = []
     for point in points:
         mode, _, ipp = point.partition(":")
-        mode, _, quant = mode.partition("+")
+        mode, _, flags = mode.partition("+")
+        flagset = set(flags.split(".")) - {""}
         os.environ["RDST_TPU_PALLAS"] = mode
-        if quant:  # int8 groups, dot-joined (e.g. qkv.mlp)
-            os.environ["RDST_TPU_PALLAS_QUANT"] = quant.replace(".", ",")
+        if "bcast" in flagset:  # broadcast-built packed K/V stacks
+            os.environ["RDST_TPU_PALLAS_STACK"] = "bcast"
+        else:
+            os.environ.pop("RDST_TPU_PALLAS_STACK", None)
+        quant = ",".join(sorted(flagset - {"bcast"}))
+        if quant:  # int8 groups (e.g. qkv,mlp)
+            os.environ["RDST_TPU_PALLAS_QUANT"] = quant
         else:
             os.environ.pop("RDST_TPU_PALLAS_QUANT", None)
         if ipp:  # unannotated points use each kernel's own default
@@ -110,16 +137,19 @@ def main():
             agree_db = 10 * np.log10(
                 float(np.square(ref32.max() - ref32.min())) / max(mse, 1e-30))
             ok = np.isfinite(psnr_v).all()
-            rows.append((point, sps, agree_db, ok))
-            print(f"{point:10s} {sps:9.1f} slices/s  agree {agree_db:5.1f} dB"
-                  f"  finite={bool(ok)}", flush=True)
+            mfu = sps * flops_per_slice / (peak_tflops * 1e12)
+            rows.append((point, sps, mfu, agree_db, ok))
+            print(f"{point:14s} {sps:9.1f} slices/s  MFU {mfu:6.2%}"
+                  f"  agree {agree_db:5.1f} dB  finite={bool(ok)}", flush=True)
         except Exception as e:  # keep sweeping past a broken point
-            rows.append((point, float("nan"), float("nan"), False))
-            print(f"{point:10s} FAILED: {type(e).__name__}: {e}", flush=True)
+            rows.append((point, float("nan"), float("nan"), float("nan"),
+                         False))
+            print(f"{point:14s} FAILED: {type(e).__name__}: {e}", flush=True)
 
-    print("\nmode        slices/s   agreement")
-    for point, sps, agree, ok in rows:
-        print(f"{point:10s} {sps:9.1f}   {agree:5.1f} dB {'' if ok else 'FAIL'}")
+    print("\nmode            slices/s     MFU    agreement")
+    for point, sps, mfu, agree, ok in rows:
+        print(f"{point:14s} {sps:9.1f}  {mfu:6.2%}   {agree:5.1f} dB"
+              f" {'' if ok else 'FAIL'}")
 
 
 if __name__ == "__main__":
