@@ -337,18 +337,20 @@ def _body(xf, cdt, nH, scale, T, N, C, fast, bw,
     return x1 + h2
 
 
-def _block_kernel(nH, scale, T, N, C, fast, bw, nseg,
+def _block_kernel(nH, scale, T, N, C, fast, bw, nseg, quant,
                   x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
                   g1_ref, b1_ref, g2_ref, b2_ref,
                   w1_ref, bf1_ref, w2_ref, bf2_ref,
-                  bias_ref, hmask_ref, segones_ref, o_ref):
+                  bias_ref, hmask_ref, segones_ref, *qrefs):
+    o_ref = qrefs[-1]
+    qd, _ = unpack_mm_quant(qrefs[:-1], 0, quant)
     cdt = x_ref.dtype  # compute/storage dtype (bf16 on the bench path)
     xf = x_ref[0].astype(jnp.float32)  # (T*N, C)
     out = _body(xf, cdt, nH, scale, T, N, C, fast, bw,
                 wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
                 g1_ref, b1_ref, g2_ref, b2_ref,
                 w1_ref, bf1_ref, w2_ref, bf2_ref,
-                bias_ref, hmask_ref, segones_ref, nseg)
+                bias_ref, hmask_ref, segones_ref, nseg, quant=qd)
     o_ref[0] = out.astype(o_ref.dtype)
 
 
@@ -391,30 +393,35 @@ def _unshift_relayout(y, ipp, nwh, nww, ws, s):
     return _image_to_windows(y, ipp, nwh, nww, ws)
 
 
-def _pair_kernel(nH, scale, T, N, C, nW, fast, geom,
+def _pair_kernel(nH, scale, T, N, C, nW, fast, geom, quant,
                  x_ref,
                  awqkv, abqkv, awproj, abproj, ag1, ab1, ag2, ab2,
                  aw1, abf1, aw2, abf2, abias,
                  bwqkv, bbqkv, bwproj, bbproj, bg1, bb1, bg2, bb2,
                  bw1, bbf1, bw2, bbf2, bbias,
-                 hmask_ref, segones_ref, o_ref):
+                 hmask_ref, segones_ref, *qrefs):
     """DSTL pair: unshifted block -> in-VMEM shift relayout -> shifted
     block. Input in unshifted window layout; OUTPUT IN SHIFTED WINDOW
     LAYOUT (the caller's window_reverse + roll(+s) restores the image,
     one fused XLA copy — the same exit cost as a single block)."""
     ipp, nwh, nww, ws, shift = geom
+    o_ref = qrefs[-1]
+    qa, off = unpack_mm_quant(qrefs[:-1], 0, quant)
+    qb, _ = unpack_mm_quant(qrefs[:-1], off, quant)
     cdt = x_ref.dtype
     xf = x_ref[0].astype(jnp.float32)
     y = _body(xf, cdt, nH, scale, T, N, C, fast, 1,
               awqkv, abqkv, awproj, abproj, ag1, ab1, ag2, ab2,
-              aw1, abf1, aw2, abf2, abias, hmask_ref, segones_ref)
+              aw1, abf1, aw2, abf2, abias, hmask_ref, segones_ref,
+              quant=qa)
     # relayout in the compute dtype: same rounding the per-block path
     # pays storing the intermediate to HBM in bf16
     y2 = _shift_relayout(y.astype(cdt), ipp, nwh, nww, ws, shift)
     z = _body(y2.astype(jnp.float32), cdt, nH, scale, T, N, C, fast,
               nW if shift else 1,
               bwqkv, bbqkv, bwproj, bbproj, bg1, bb1, bg2, bb2,
-              bw1, bbf1, bw2, bbf2, bbias, hmask_ref, segones_ref)
+              bw1, bbf1, bw2, bbf2, bbias, hmask_ref, segones_ref,
+              quant=qb)
     o_ref[0] = z.astype(o_ref.dtype)
 
 
@@ -466,6 +473,44 @@ def quantize_weight(w, act_step: float = 1.0):
     s = amax / 127.0
     wq = jnp.clip(jnp.round(w / s), -127.0, 127.0).astype(jnp.int8)
     return wq, (s * act_step).astype(jnp.float32)
+
+
+# int8 matmul groups shared by the single-block / pair / RDSTB kernels
+# (the RDSTB mega-kernel adds a 'conv' group of its own)
+_MM_QUANT_SLOTS = {"qkv": 2, "mlp": 4, "proj": 2}
+
+
+def mm_quant_groups(quant) -> frozenset:
+    """Restrict a quant flag set to the matmul groups every Swin-block
+    kernel supports (drops e.g. 'conv', which only fused_rdstb has)."""
+    return frozenset(quant or ()) & frozenset(_MM_QUANT_SLOTS)
+
+
+def unpack_mm_quant(refs, off, quant):
+    """Per-block int8 extras at refs[off:]; returns (dict, new_off) in
+    the fixed (qkv, mlp, proj) order mm_quant_extras emits."""
+    q = {}
+    for g in ("qkv", "mlp", "proj"):
+        if g in quant:
+            ns = _MM_QUANT_SLOTS[g]
+            q[g] = tuple(refs[off:off + ns])
+            off += ns
+    return q, off
+
+
+def mm_quant_extras(wqkv, w1, w2, wproj, quant):
+    """int8 twins (+ per-channel scales) for one FOLDED fast-path block,
+    in unpack_mm_quant order. qkv/fc1 inputs are post-normalize (static
+    ±4σ step); fc2/proj inputs carry a dynamic per-tensor scale."""
+    out = []
+    if "qkv" in quant:
+        out += quantize_weight(wqkv, act_step=1.0 / _QX)
+    if "mlp" in quant:
+        out += quantize_weight(w1, act_step=1.0 / _QX)
+        out += quantize_weight(w2, act_step=1.0)
+    if "proj" in quant:
+        out += quantize_weight(wproj, act_step=1.0)
+    return out
 
 
 def use_fast_path(dtype) -> bool:
@@ -533,12 +578,12 @@ def fused_pair_fits(nw: int, n: int, c: int, nh: int, hidden: int,
 @functools.partial(
     jax.jit,
     static_argnames=("num_heads", "windows_per_image", "images_per_program",
-                     "pack", "interpret"))
+                     "pack", "interpret", "quant"))
 def fused_swin_block(x_windows, wqkv, bqkv, wproj, bproj,
                      g1, b1, g2, b2, w1, bf1, w2, bf2,
                      bias, *, num_heads: int, windows_per_image: int,
                      images_per_program: int = 1, pack: int = 1,
-                     interpret: bool = False):
+                     interpret: bool = False, quant: frozenset = None):
     """Whole Swin block on window-layout tokens.
 
     x_windows: (B·nW, N, C) with nW = windows_per_image;
@@ -559,6 +604,9 @@ def fused_swin_block(x_windows, wqkv, bqkv, wproj, bproj,
     nw = windows_per_image
     es = jnp.dtype(x_windows.dtype).itemsize
     fast = use_fast_path(x_windows.dtype)
+    quant = mm_quant_groups(quant_flags() if quant is None else quant)
+    if not fast:
+        quant = frozenset()  # int8 rides the packed fast path only
     if bqkv is None:
         bqkv = jnp.zeros((3 * c,), wqkv.dtype)
 
@@ -644,6 +692,18 @@ def fused_swin_block(x_windows, wqkv, bqkv, wproj, bproj,
         wqkv, bqkv, w1, bf1 = _fold_fast_weights(
             wqkv, bqkv, g1, b1, g2, b2, w1, bf1, c, scale, x_windows.dtype)
 
+    quant_ops = []
+    if quant:
+        quant_ops = mm_quant_extras(wqkv, w1, w2, wproj, quant)
+        # bf16 weights superseded by int8 twins never ship into VMEM
+        dead = jnp.zeros((8, 128), x_windows.dtype)
+        if "qkv" in quant:
+            wqkv = dead
+        if "mlp" in quant:
+            w1, w2 = dead, dead
+        if "proj" in quant:
+            wproj = dead
+
     if fast:  # (bw, N, nH·N): heads packed on the lane dim
         bias_in = bias.reshape(nh, bw, n, n).transpose(1, 2, 0, 3)
         bias_in = bias_in.reshape(bw, n, nh * n)
@@ -654,7 +714,7 @@ def fused_swin_block(x_windows, wqkv, bqkv, wproj, bproj,
         bias_spec = pl.BlockSpec((nh * bw, n, n), lambda i: (0, 0, 0))
 
     kernel = functools.partial(_block_kernel, nh, scale, t, n, c, fast,
-                               tile, pack)
+                               tile, pack, quant)
     vm = {} if (pltpu is None or interpret) else {"memory_space": pltpu.VMEM}
     if vm:
         bias_spec = pl.BlockSpec(bias_spec.block_shape, bias_spec.index_map,
@@ -671,19 +731,19 @@ def fused_swin_block(x_windows, wqkv, bqkv, wproj, bproj,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, t * n, c), lambda i: (i, 0, 0), **vm),
-            const2d(c, 3 * c),              # wqkv
+            const2d(*wqkv.shape),           # wqkv (dead tile when int8)
             row(3 * c),                     # bqkv
-            const2d(c, c),                  # wproj
+            const2d(*wproj.shape),          # wproj
             row(c),                         # bproj
             row(c), row(c), row(c), row(c),  # g1 b1 g2 b2
-            const2d(c, hidden),             # w1
+            const2d(*w1.shape),             # w1
             row(hidden),                    # bf1
-            const2d(hidden, c),             # w2
+            const2d(*w2.shape),             # w2
             row(c),                         # bf2
             bias_spec,
             const2d(nh, c),                 # hmask
             const2d(nh * n, nh),            # segones
-        ],
+        ] + [const2d(*a.shape) for a in quant_ops],
         out_specs=pl.BlockSpec((1, t * n, c), lambda i: (i, 0, 0), **vm),
         out_shape=jax.ShapeDtypeStruct(xg.shape, x_windows.dtype),
         interpret=interpret,
@@ -694,6 +754,7 @@ def fused_swin_block(x_windows, wqkv, bqkv, wproj, bproj,
         bf2.reshape(1, c), bias_in,
         _head_mask(nh, c, x_windows.dtype),
         _seg_ones(nh, n, x_windows.dtype),
+        *quant_ops,
     )
     out = out.reshape(bnw, n, c)
     if pack == 2:  # unpack: (bnw', n, 2c) -> (2 bnw', n, c)
@@ -738,10 +799,11 @@ def const_spec(vm, *shape):
 @functools.partial(
     jax.jit,
     static_argnames=("num_heads", "x_size", "window_size", "shift",
-                     "images_per_program", "interpret"))
+                     "images_per_program", "interpret", "quant"))
 def fused_swin_pair(x_windows, params_a, bias_a, params_b, bias_b, *,
                     num_heads: int, x_size, window_size: int, shift: int,
-                    images_per_program: int = 2, interpret: bool = False):
+                    images_per_program: int = 2, interpret: bool = False,
+                    quant: frozenset = None):
     """One DSTL's Swin-block pair (shift 0, then `shift`) in a single
     Pallas program: the inter-block window_reverse -> roll -> partition
     happens in VMEM (_shift_relayout), so the intermediate feature map
@@ -767,6 +829,7 @@ def fused_swin_pair(x_windows, params_a, bias_a, params_b, bias_b, *,
     nw = nwh * nww
     es = jnp.dtype(x_windows.dtype).itemsize
     assert use_fast_path(x_windows.dtype), "pair kernel is fast-path only"
+    quant = mm_quant_groups(quant_flags() if quant is None else quant)
     hidden = params_a[8].shape[1]
 
     ipp = max(1, images_per_program)
@@ -781,43 +844,48 @@ def fused_swin_pair(x_windows, params_a, bias_a, params_b, bias_b, *,
     vm = {} if (pltpu is None or interpret) else {"memory_space": pltpu.VMEM}
 
     def prep(params):
-        return prep_block_params(params, c, nh, dt)
+        folded = prep_block_params(params, c, nh, dt)
+        extras = mm_quant_extras(folded[0], folded[8], folded[10],
+                                 folded[2], quant)
+        if quant:  # superseded bf16 weights never ship into VMEM
+            dead = jnp.zeros((8, 128), dt)
+            if "qkv" in quant:
+                folded[0] = dead
+            if "mlp" in quant:
+                folded[8], folded[10] = dead, dead
+            if "proj" in quant:
+                folded[2] = dead
+        return folded, extras
 
     def const(*shape):
         return const_spec(vm, *shape)
-
-    def param_specs():
-        return [
-            const(c, 3 * c), const(1, 3 * c),   # wqkv bqkv
-            const(c, c), const(1, c),           # wproj bproj
-            const(1, c), const(1, c), const(1, c), const(1, c),  # LN affines
-            const(c, hidden), const(1, hidden),  # w1 bf1
-            const(hidden, c), const(1, c),       # w2 bf2
-        ]
 
     bias_a_in = pack_bias_fast(bias_a, nh, n, dt)
     bias_b_in = pack_bias_fast(bias_b, nh, n, dt)
     geom = (ipp, nwh, nww, ws, shift)
     kernel = functools.partial(_pair_kernel, nh, (c // nh) ** -0.5, t, n, c,
-                               nw, True, geom)
+                               nw, True, geom, quant)
 
+    fa, qa = prep(params_a)
+    fb, qb = prep(params_b)
     xg = x_windows.reshape(bnw // t, t * n, c)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=(
             [pl.BlockSpec((1, t * n, c), lambda i: (i, 0, 0), **vm)]
-            + param_specs()
+            + [const(*a.shape) for a in fa]
             + [const(*bias_a_in.shape)]
-            + param_specs()
+            + [const(*a.shape) for a in fb]
             + [const(*bias_b_in.shape)]
             + [const(nh, c), const(nh * n, nh)]  # hmask, segones
+            + [const(*a.shape) for a in qa + qb]
         ),
         out_specs=pl.BlockSpec((1, t * n, c), lambda i: (i, 0, 0), **vm),
         out_shape=jax.ShapeDtypeStruct(xg.shape, dt),
         interpret=interpret,
-    )(xg, *prep(params_a), bias_a_in, *prep(params_b), bias_b_in,
-      _head_mask(nh, c, dt), _seg_ones(nh, n, dt))
+    )(xg, *fa, bias_a_in, *fb, bias_b_in,
+      _head_mask(nh, c, dt), _seg_ones(nh, n, dt), *qa, *qb)
     return out.reshape(bnw, n, c)
 
 

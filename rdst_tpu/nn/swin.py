@@ -374,6 +374,8 @@ class SwinTransformerBlock(nn.Module):
         # 'pack' mode: narrow-channel blocks (2C fits one 128-lane tile)
         # run two windows per lane row for ~2x VPU/MXU fill
         pack = 2 if (wa.pallas_mode() == "pack" and c <= 64) else 1
+        from rdst_tpu.kernels.swin_block import quant_flags
+
         y = fused_swin_block(
             x_windows.astype(dt),
             wqkv.astype(dt), None if bqkv is None else bqkv.astype(dt),
@@ -382,7 +384,9 @@ class SwinTransformerBlock(nn.Module):
             gamma2.astype(jnp.float32), beta2.astype(jnp.float32),
             w1.astype(dt), bf1.astype(dt), w2.astype(dt), bf2.astype(dt),
             bias, num_heads=self.num_heads, windows_per_image=nw,
-            images_per_program=ipp, pack=pack, interpret=interpret)
+            images_per_program=ipp, pack=pack, interpret=interpret,
+            # resolved HERE so the jit cache keys on the active flags
+            quant=quant_flags())
 
         y = window_reverse(y.reshape(-1, ws, ws, c), ws, h, w)
         if shift > 0:
@@ -487,10 +491,14 @@ class BasicLayer(nn.Module):
         import os
 
         ipp = int(os.environ.get("RDST_TPU_PALLAS_IPP", "2"))
+        from rdst_tpu.kernels.swin_block import quant_flags
+
         y = fused_swin_pair(
             x_windows.astype(self.dtype), params_a, bias_a, params_b, bias_b,
             num_heads=self.num_heads, x_size=(h, w), window_size=ws,
-            shift=shift, images_per_program=ipp, interpret=interpret)
+            shift=shift, images_per_program=ipp, interpret=interpret,
+            # resolved HERE so the jit cache keys on the active flags
+            quant=quant_flags())
 
         # y is in SHIFTED window layout: one fused XLA exit copy undoes it
         y = window_reverse(y.reshape(-1, ws, ws, c), ws, h, w)

@@ -409,6 +409,39 @@ class TestFusedSwinPair:
         got = np.asarray(layer.apply(params, x, (h, w)), np.float32)
         assert np.abs(got - ref).max() <= 1e-3 * np.abs(ref).max()
 
+    @pytest.mark.parametrize("mode", ["swin", "pair"])
+    def test_int8_quant_tracks_bf16(self, rng, monkeypatch, mode):
+        """RDST_TPU_PALLAS_QUANT on the single-block and pair kernels:
+        the int8 matmul groups must track the bf16 kernels within int8
+        noise and must actually engage (same contract as the RDSTB
+        mega-kernel's quant test)."""
+        import jax
+        import jax.numpy as jnp
+
+        from rdst_tpu.nn.swin import BasicLayer
+
+        b, h, w, c, nh, ws = 2, 16, 24, 12, 3, 8
+        x = jnp.asarray(rng.normal(0, 1, (b, h * w, c)), jnp.bfloat16)
+        layer = BasicLayer(dim=c, depth=2, num_heads=nh, window_size=ws,
+                           mlp_ratio=2.0, build_resolution=(h, w),
+                           dtype=jnp.bfloat16)
+        monkeypatch.setenv("RDST_TPU_PALLAS_INTERPRET", "1")
+        monkeypatch.setenv("RDST_TPU_PALLAS", mode)
+        params = layer.init(jax.random.PRNGKey(0), x, (h, w))
+        base = np.asarray(layer.apply(params, x, (h, w)), np.float32)
+
+        monkeypatch.setenv("RDST_TPU_PALLAS_QUANT", "qkv,mlp,proj")
+        got = np.asarray(layer.apply(params, x, (h, w)), np.float32)
+
+        denom = np.abs(base).max()
+        err = np.abs(got - base).max() / denom
+        assert err < 0.06, (mode, err)  # int8 noise, not a wrong path
+        assert err > 0, "quant path must actually engage"
+        # 'conv' is mega-kernel-only: these kernels must ignore it
+        monkeypatch.setenv("RDST_TPU_PALLAS_QUANT", "conv")
+        unq = np.asarray(layer.apply(params, x, (h, w)), np.float32)
+        assert np.array_equal(unq, base)
+
     def test_full_rdst_pair_mode(self, rng, monkeypatch):
         """Full RDSTSR forward in pair mode (interpret) agrees with the
         per-block fused mode to bf16-ulp — gates the DSTL/BasicLayer
