@@ -252,6 +252,46 @@ def fused_rdstb_fits(nw: int, n: int, c0: int, growth: int, nb: int,
 _PROBE_CACHE: dict = {}
 
 
+def probe_args(x_size, ws, shift, c0, growth, nb, nh, hidden_ratio,
+               prenorm, ipp):
+    """Dummy (x, dstls, conv_kernel, conv_bias) with the exact shapes
+    the model layer feeds fused_rdstb — the probe compiles with these,
+    so a shape drift here would silently disable the mega-kernel on
+    hardware (regression-tested in interpret mode)."""
+    h, w = x_size
+    n = ws * ws
+    nw = (h // ws) * (w // ws)
+    dt = jnp.bfloat16
+    f32 = jnp.float32
+
+    def blk(c):
+        hid = int(c * hidden_ratio)
+        return (jnp.zeros((c, 3 * c), dt), jnp.zeros((3 * c,), dt),
+                jnp.zeros((c, c), dt), jnp.zeros((c,), dt),
+                jnp.ones((c,), f32), jnp.zeros((c,), f32),
+                jnp.ones((c,), f32), jnp.zeros((c,), f32),
+                jnp.zeros((c, hid), dt), jnp.zeros((hid,), dt),
+                jnp.zeros((hid, c), dt), jnp.zeros((c,), dt))
+
+    dstls = []
+    c = c0
+    for _ in range(nb):
+        bias_a = jnp.zeros((nh, n, n), dt)
+        bias_b = jnp.zeros((nh * (nw if shift else 1), n, n), dt)
+        # prenorm: LN(C) precedes the Dense, so its affine is C-sized;
+        # postnorm: LN(growth) follows it (matches DenseSTLayer)
+        ca = c if prenorm else growth
+        adapter = (jnp.zeros((c, growth), dt), jnp.zeros((growth,), dt),
+                   jnp.ones((ca,), f32), jnp.zeros((ca,), f32))
+        dstls.append({"blocks": [(blk(c), bias_a), (blk(c), bias_b)],
+                      "adapter": adapter})
+        c += growth
+    ck = jnp.zeros((3, 3, c, c0), dt)
+    cb = jnp.zeros((c0,), f32)
+    x = jnp.zeros((ipp, h * w, c0), dt)
+    return x, dstls, ck, cb
+
+
 def fused_rdstb_probe(x_size, ws: int, shift: int, c0: int, growth: int,
                       nb: int, nh: int, hidden_ratio: float, prenorm: bool,
                       ipp: int = 1) -> bool:
@@ -265,35 +305,8 @@ def fused_rdstb_probe(x_size, ws: int, shift: int, c0: int, growth: int,
            prenorm, ipp)
     if key in _PROBE_CACHE:
         return _PROBE_CACHE[key]
-    h, w = x_size
-    n = ws * ws
-    nw = (h // ws) * (w // ws)
-    dt = jnp.bfloat16
-    f32 = jnp.float32
-
-    def blk(c):
-        hid = int(c * hidden_ratio)
-        params = (jnp.zeros((c, 3 * c), dt), jnp.zeros((3 * c,), dt),
-                  jnp.zeros((c, c), dt), jnp.zeros((c,), dt),
-                  jnp.ones((c,), f32), jnp.zeros((c,), f32),
-                  jnp.ones((c,), f32), jnp.zeros((c,), f32),
-                  jnp.zeros((c, hid), dt), jnp.zeros((hid,), dt),
-                  jnp.zeros((hid, c), dt), jnp.zeros((c,), dt))
-        return params
-
-    dstls = []
-    c = c0
-    for _ in range(nb):
-        bias_a = jnp.zeros((nh, n, n), dt)
-        bias_b = jnp.zeros((nh * (nw if shift else 1), n, n), dt)
-        adapter = (jnp.zeros((c, growth), dt), jnp.zeros((growth,), dt),
-                   jnp.ones((growth,), f32), jnp.zeros((growth,), f32))
-        dstls.append({"blocks": [(blk(c), bias_a), (blk(c), bias_b)],
-                      "adapter": adapter})
-        c += growth
-    ck = jnp.zeros((3, 3, c, c0), dt)
-    cb = jnp.zeros((c0,), f32)
-    x = jnp.zeros((ipp, h * w, c0), dt)
+    x, dstls, ck, cb = probe_args(x_size, ws, shift, c0, growth, nb, nh,
+                                  hidden_ratio, prenorm, ipp)
     try:
         fused_rdstb.lower(
             x, dstls, ck, cb, num_heads=nh, x_size=(h, w), window_size=ws,

@@ -338,6 +338,26 @@ class TestFusedRDSTB:
         assert err < 0.06, (groups, err)  # int8 noise, not a wrong path
         assert err > 0, "quant path must actually engage"
 
+    @pytest.mark.parametrize("prenorm", [True, False])
+    def test_probe_args_match_kernel_contract(self, monkeypatch, prenorm):
+        """fused_rdstb_probe's dummy operands must trace through the
+        mega-kernel for BOTH adapter layouts — a shape drift there
+        silently disables the kernel on hardware (the prenorm adapter
+        affine is C-sized, not growth-sized; regression for the r3 bug
+        that pinned the flagship to the pair fallback)."""
+        import jax.numpy as jnp
+
+        from rdst_tpu.kernels.rdstb_block import fused_rdstb, probe_args
+
+        monkeypatch.setenv("RDST_TPU_PALLAS_INTERPRET", "1")
+        x, dstls, ck, cb = probe_args((16, 24), 8, 4, 12, 6, 2, 3, 2.0,
+                                      prenorm, 1)
+        out = fused_rdstb(
+            x, dstls, ck, cb, num_heads=3, x_size=(16, 24), window_size=8,
+            shift=4, growth=6, adapter_prenorm=prenorm,
+            images_per_program=1, interpret=True, quant=frozenset())
+        assert out.shape == x.shape
+
     def test_conv3x3_matches_xla(self, rng):
         import jax
         import jax.numpy as jnp
