@@ -309,9 +309,9 @@ def fused_rdstb_probe(x_size, ws: int, shift: int, c0: int, growth: int,
                                   hidden_ratio, prenorm, ipp)
     try:
         fused_rdstb.lower(
-            x, dstls, ck, cb, num_heads=nh, x_size=(h, w), window_size=ws,
-            shift=shift, growth=growth, adapter_prenorm=prenorm,
-            images_per_program=ipp).compile()
+            x, dstls, ck, cb, num_heads=nh, x_size=tuple(x_size),
+            window_size=ws, shift=shift, growth=growth,
+            adapter_prenorm=prenorm, images_per_program=ipp).compile()
         _PROBE_CACHE[key] = True
     except Exception as e:  # Mosaic/VMEM compile failure -> fall back
         import warnings
