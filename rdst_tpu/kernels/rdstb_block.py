@@ -318,7 +318,7 @@ def fused_rdstb_probe(x_size, ws: int, shift: int, c0: int, growth: int,
 
         warnings.warn(
             f"fused_rdstb probe-compile failed for geometry {key}; "
-            f"falling back to the pair/XLA path ({type(e).__name__})")
+            f"falling back to the pair/XLA path ({type(e).__name__}: {e})")
         _PROBE_CACHE[key] = False
     return _PROBE_CACHE[key]
 
