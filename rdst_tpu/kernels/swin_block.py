@@ -240,17 +240,11 @@ def _body(xf, cdt, nH, scale, T, N, C, fast, bw,
     if fast:
         # packed attention: all heads in one batched matmul per stage.
         # K''/V'': channel-masked per head, stacked on the sublane dim.
-        import os as _os
-
-        if _os.environ.get("RDST_TPU_PALLAS_STACK") == "bcast":
-            # one broadcast multiply instead of nH multiplies + concat
-            hm_all = hmask_ref[...].astype(cdt)[None, :, None, :]  # (1,nH,1,C)
-            kst = (k[:, None] * hm_all).reshape(T, nH * N, C)
-            vst = (v[:, None] * hm_all).reshape(T, nH * N, C)
-        else:
-            hm = [hmask_ref[h:h + 1][None].astype(cdt) for h in range(nH)]
-            kst = jnp.concatenate([k * m for m in hm], axis=1)  # (T, nH*N, C)
-            vst = jnp.concatenate([v * m for m in hm], axis=1)
+        # (A broadcast-multiply + reshape formulation of this stack
+        # crashes Mosaic at E1 shapes — r3 negative result, PERF.md.)
+        hm = [hmask_ref[h:h + 1][None].astype(cdt) for h in range(nH)]
+        kst = jnp.concatenate([k * m for m in hm], axis=1)  # (T, nH*N, C)
+        vst = jnp.concatenate([v * m for m in hm], axis=1)
         s = jax.lax.dot_general(
             q, kst, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)  # (T, N, nH*N)

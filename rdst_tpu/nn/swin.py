@@ -173,49 +173,26 @@ class WindowAttention(nn.Module):
         idx = relative_position_index(*self.window_size).reshape(-1)
         rel_bias = bias_table[idx].reshape(n, n, self.num_heads).transpose(2, 0, 1)
 
-        from rdst_tpu.kernels import window_attention as wa
-
-        mode = wa.pallas_mode()
-        use_pallas = (
-            mode in ("1", "block") and deterministic
-            and self.attn_drop == 0.0 and self.proj_drop == 0.0
-            and self.qk_scale is None and jax.default_backend() == "tpu"
-        )
-        if use_pallas:
-            # combined (nW, nH, N, N) bias: rel-pos (+ shift mask)
-            if mask is not None:
-                bias = rel_bias[None] + mask[:, None]
-            else:
-                bias = rel_bias[None]
-            if mode == "block":
-                return wa.fused_attention_block(
-                    x.astype(self.dtype), wqkv.astype(self.dtype),
-                    None if bqkv is None else bqkv.astype(self.dtype),
-                    wproj.astype(self.dtype), bproj.astype(self.dtype),
-                    bias.astype(self.dtype), num_heads=self.num_heads)
-            # attention-only kernel: qkv/proj matmuls stay in XLA
-            qkv = (x.astype(self.dtype) @ wqkv.astype(self.dtype))
-            if bqkv is not None:
-                qkv = qkv + bqkv.astype(self.dtype)
-            qkv = qkv.reshape(b_, n, 3, self.num_heads, head_dim).transpose(2, 0, 3, 1, 4)
-            y = wa.fused_window_attention(qkv[0], qkv[1], qkv[2], bias)
-            y = y.transpose(0, 2, 1, 3).reshape(b_, n, c)
-        else:
-            qkv = x.astype(self.dtype) @ wqkv.astype(self.dtype)
-            if bqkv is not None:
-                qkv = qkv + bqkv.astype(self.dtype)
-            qkv = qkv.reshape(b_, n, 3, self.num_heads, head_dim).transpose(2, 0, 3, 1, 4)
-            q, k, v = qkv[0], qkv[1], qkv[2]
-            attn = (q * scale) @ k.transpose(0, 1, 3, 2)  # (B_, nH, N, N)
-            attn = attn + rel_bias[None].astype(attn.dtype)
-            if mask is not None:
-                nw = mask.shape[0]
-                attn = attn.reshape(b_ // nw, nw, self.num_heads, n, n)
-                attn = attn + mask[None, :, None].astype(attn.dtype)
-                attn = attn.reshape(-1, self.num_heads, n, n)
-            attn = jax.nn.softmax(attn, axis=-1)
-            attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
-            y = (attn @ v).transpose(0, 2, 1, 3).reshape(b_, n, c)
+        # (modes '1'/'block' — the round-1 attention-only and
+        # qkv+attn+proj kernels — were retired in r3 after a second
+        # negative measurement: 377/504 slices/s vs 669 XLA and 2884
+        # mega-kernel. They now fall through to this XLA path; PERF.md
+        # keeps the record.)
+        qkv = x.astype(self.dtype) @ wqkv.astype(self.dtype)
+        if bqkv is not None:
+            qkv = qkv + bqkv.astype(self.dtype)
+        qkv = qkv.reshape(b_, n, 3, self.num_heads, head_dim).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        attn = (q * scale) @ k.transpose(0, 1, 3, 2)  # (B_, nH, N, N)
+        attn = attn + rel_bias[None].astype(attn.dtype)
+        if mask is not None:
+            nw = mask.shape[0]
+            attn = attn.reshape(b_ // nw, nw, self.num_heads, n, n)
+            attn = attn + mask[None, :, None].astype(attn.dtype)
+            attn = attn.reshape(-1, self.num_heads, n, n)
+        attn = jax.nn.softmax(attn, axis=-1)
+        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+        y = (attn @ v).transpose(0, 2, 1, 3).reshape(b_, n, c)
         y = y @ wproj.astype(self.dtype) + bproj.astype(self.dtype)
         return nn.Dropout(self.proj_drop)(y, deterministic=deterministic)
 

@@ -8,10 +8,9 @@ extra point only pays its own compile + first-execution cost.
 
 Usage:  python tools/kernel_sweep.py [mode[+flags][:ipp] ...]
         default points: 0 swin pair rdstb rdstb:4 pack
-        flags = dot-joined extras: int8 quant groups for the rdstb
-        mega-kernel (qkv/mlp/proj/conv/all -> RDST_TPU_PALLAS_QUANT) and
-        'bcast' (broadcast-built K/V stacks -> RDST_TPU_PALLAS_STACK).
-        e.g. rdstb+qkv.mlp, rdstb+bcast, rdstb+bcast.all
+        flags = dot-joined extras: int8 quant groups
+        (qkv/mlp/proj/conv/all -> RDST_TPU_PALLAS_QUANT).
+        e.g. rdstb+qkv.mlp, rdstb+all, pair+all
 
 Each mode is traced fresh (the mode env vars are read at trace time).
 Prints one table row per point, plus FLOPs/slice (XLA cost analysis of
@@ -86,11 +85,7 @@ def main():
         mode, _, flags = mode.partition("+")
         flagset = set(flags.split(".")) - {""}
         os.environ["RDST_TPU_PALLAS"] = mode
-        if "bcast" in flagset:  # broadcast-built packed K/V stacks
-            os.environ["RDST_TPU_PALLAS_STACK"] = "bcast"
-        else:
-            os.environ.pop("RDST_TPU_PALLAS_STACK", None)
-        quant = ",".join(sorted(flagset - {"bcast"}))
+        quant = ",".join(sorted(flagset))
         if quant:  # int8 groups (e.g. qkv,mlp)
             os.environ["RDST_TPU_PALLAS_QUANT"] = quant
         else:
