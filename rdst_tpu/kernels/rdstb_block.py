@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 from rdst_tpu.kernels.swin_block import (
-    _QX,
+    _MM_QUANT_SLOTS,
     _VMEM_BUDGET,
     _body,
     _head_mask,
@@ -49,10 +49,12 @@ from rdst_tpu.kernels.swin_block import (
     _vmem_estimate,
     _windows_to_image,
     const_spec,
+    mm_quant_extras,
     pack_bias_fast,
     prep_block_params,
     quant_flags,
     quantize_weight,
+    unpack_mm_quant,
     use_fast_path,
 )
 
@@ -63,17 +65,14 @@ except ImportError:  # pragma: no cover
 
 # refs per DSTL: 2 blocks x (wqkv bqkv wproj bproj w1 bf1 w2 bf2)
 # + bias_a + bias_b + adapter (wa ba ga bba) + hmask + segones
-# + optional per-block int8 operands (see _quant_extras_per_block)
+# + optional per-block int8 operands (swin_block._MM_QUANT_SLOTS order)
 _PER_BLOCK = 8
 _PER_DSTL = 2 * _PER_BLOCK + 2 + 4 + 2
 
-# per-block int8 extras, in group order: qkv -> (wq, ws),
-# mlp -> (w1q, w1s, w2q, w2s), proj -> (wpq, wps)
-_QUANT_SLOTS = {"qkv": 2, "mlp": 4, "proj": 2}
-
 
 def _quant_extras_per_block(quant) -> int:
-    return sum(_QUANT_SLOTS[g] for g in ("qkv", "mlp", "proj") if g in quant)
+    return sum(_MM_QUANT_SLOTS[g] for g in ("qkv", "mlp", "proj")
+               if g in quant)
 
 
 def _conv3x3(img, wc_ref, bc_ref, cin, cout, dequant=None):
@@ -114,17 +113,6 @@ def _conv3x3(img, wc_ref, bc_ref, cin, cout, dequant=None):
     return acc + bc_ref[...].astype(jnp.float32)
 
 
-def _unpack_quant(refs, off, quant):
-    """Per-block int8 extras at refs[off:]; returns (quant_dict, new_off)."""
-    q = {}
-    for g in ("qkv", "mlp", "proj"):
-        if g in quant:
-            ns = _QUANT_SLOTS[g]
-            q[g] = tuple(refs[off:off + ns])
-            off += ns
-    return q, off
-
-
 def _rdstb_kernel(geom, c0, growth, nh, nb, prenorm, quant, x_ref, *refs):
     """geom = (ipp, nwh, nww, ws, shift). refs laid out per _PER_DSTL
     (+ per-block int8 extras when quant is non-empty), then conv
@@ -150,8 +138,8 @@ def _rdstb_kernel(geom, c0, growth, nh, nb, prenorm, quant, x_ref, *refs):
          wqkv_b, bqkv_b, wproj_b, bproj_b, w1_b, bf1_b, w2_b, bf2_b,
          bias_a, bias_b, wad, bad, gad, bbad, hmask, segones) = refs[
             base:base + _PER_DSTL]
-        qa, qoff = _unpack_quant(refs, base + _PER_DSTL, quant)
-        qb, _ = _unpack_quant(refs, qoff, quant)
+        qa, qoff = unpack_mm_quant(refs, base + _PER_DSTL, quant)
+        qb, _ = unpack_mm_quant(refs, qoff, quant)
 
         xin = feats[0] if len(feats) == 1 else jnp.concatenate(feats, axis=-1)
         scale = (c // nh) ** -0.5
@@ -294,15 +282,18 @@ def probe_args(x_size, ws, shift, c0, growth, nb, nh, hidden_ratio,
 
 def fused_rdstb_probe(x_size, ws: int, shift: int, c0: int, growth: int,
                       nb: int, nh: int, hidden_ratio: float, prenorm: bool,
-                      ipp: int = 1) -> bool:
+                      ipp: int = 1, quant: frozenset = None) -> bool:
     """Mosaic-compile the mega-kernel ONCE per geometry with dummy
     weights (``.lower().compile()``, no execution). The VMEM gate's
     live-range factor is calibrated on one measured geometry, so an
     optimistic admit on a new config would otherwise die inside Mosaic
     mid-model with no fallback; this makes such geometries fall back to
-    the pair/XLA path instead (ADVICE r2). Cached per geometry."""
+    the pair/XLA path instead (ADVICE r2). Cached per geometry AND per
+    active quant flag set (the compiled program depends on both)."""
+    if quant is None:
+        quant = quant_flags()
     key = (tuple(x_size), ws, shift, c0, growth, nb, nh, hidden_ratio,
-           prenorm, ipp)
+           prenorm, ipp, quant)
     if key in _PROBE_CACHE:
         return _PROBE_CACHE[key]
     x, dstls, ck, cb = probe_args(x_size, ws, shift, c0, growth, nb, nh,
@@ -311,7 +302,8 @@ def fused_rdstb_probe(x_size, ws: int, shift: int, c0: int, growth: int,
         fused_rdstb.lower(
             x, dstls, ck, cb, num_heads=nh, x_size=tuple(x_size),
             window_size=ws, shift=shift, growth=growth,
-            adapter_prenorm=prenorm, images_per_program=ipp).compile()
+            adapter_prenorm=prenorm, images_per_program=ipp,
+            quant=quant).compile()
         _PROBE_CACHE[key] = True
     except Exception as e:  # Mosaic/VMEM compile failure -> fall back
         import warnings
@@ -395,18 +387,11 @@ def fused_rdstb(x_tokens, dstls, conv_kernel, conv_bias, *,
         specs.append(const(*arr.shape))
 
     def add_quant_extras(folded):
-        # group order must match _unpack_quant: qkv, mlp, proj
-        if "qkv" in quant:
-            for arr in quantize_weight(folded[0], act_step=1.0 / _QX):
-                add(arr)
-        if "mlp" in quant:
-            for arr in quantize_weight(folded[4], act_step=1.0 / _QX):
-                add(arr)  # fc1: static post-normalize input scale
-            for arr in quantize_weight(folded[6], act_step=1.0):
-                add(arr)  # fc2: dynamic input scale (gelu output)
-        if "proj" in quant:
-            for arr in quantize_weight(folded[2], act_step=1.0):
-                add(arr)
+        # folded (LN rows dropped by prep): [wqkv, bqkv, wproj, bproj,
+        # w1, bf1, w2, bf2] — shared group order via mm_quant_extras
+        for arr in mm_quant_extras(folded[0], folded[4], folded[6],
+                                   folded[2], quant):
+            add(arr)
 
     dead = jnp.zeros((8, 128), dt)  # minimal-tile stand-in: a bf16
     # weight superseded by its int8 twin is never read by the kernel,

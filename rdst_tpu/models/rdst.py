@@ -251,10 +251,13 @@ class RDSTB(nn.Module):
         if wa.pallas_interpret() or _jax.default_backend() != "tpu":
             return True  # interpret mode never Mosaic-compiles
         h, w = x_size
+        from rdst_tpu.kernels.swin_block import quant_flags
+
         return fused_rdstb_probe(
             (h, w), ws, shift, self.input_dim, self.growth_rate,
             int(self.num_blocks), self.num_heads, self.mlp_ratio,
-            self.pre_norm, int(os.environ.get("RDST_TPU_PALLAS_IPP", "1")))
+            self.pre_norm, int(os.environ.get("RDST_TPU_PALLAS_IPP", "1")),
+            quant=quant_flags())
 
     def _fused_rdstb(self, x, x_size):
         """Whole-RDSTB Pallas path: declares the identical param tree

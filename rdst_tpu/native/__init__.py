@@ -55,13 +55,18 @@ def _build() -> bool:
             ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC,
              "-o", _LIB],
             check=True, capture_output=True, timeout=120)
-        with open(_STAMP, "w") as f:
-            f.write(_host_stamp())
-        return True
     except Exception as e:  # pragma: no cover - toolchain-dependent
         warnings.warn(f"rdst_tpu.native: build failed ({e}); "
                       "falling back to the numpy/cv2 data path")
         return False
+    try:  # the .so is good even if the stamp can't be written (e.g.
+        # read-only checkout) — only the rebuild cache degrades then
+        with open(_STAMP, "w") as f:
+            f.write(_host_stamp())
+    except OSError as e:  # pragma: no cover - fs-dependent
+        warnings.warn(f"rdst_tpu.native: arch stamp not written ({e}); "
+                      "the library will rebuild next process")
+    return True
 
 
 def _cached_build_ok() -> bool:

@@ -267,12 +267,22 @@ class SRTrainer:
                 "and point pre_trained_d at that instead")
         from flax import serialization
 
+        # weights-only: restore the params sub-tree against its own
+        # template and re-init the optimizer. Matching the WHOLE d_state
+        # (from_bytes on the full tree) would require the snapshot's
+        # opt_state to structurally match the current optimizer config —
+        # but a D saved under a different gan_type/optimizer is still
+        # perfectly usable as a weights-only warm start.
         with open(d_path, "rb") as f:
-            restored = serialization.from_bytes(
-                jax.device_get(self.d_state), f.read())
-        restored["opt_state"] = self.loss.adversarial.tx.init(
-            restored["params"])
-        self.d_state = restored
+            raw = serialization.msgpack_restore(f.read())
+        host = jax.device_get(self.d_state)
+        params = serialization.from_state_dict(host["params"], raw["params"])
+        bstats = serialization.from_state_dict(
+            host["batch_stats"], raw.get("batch_stats", {}))
+        self.d_state = {
+            "params": params, "batch_stats": bstats,
+            "opt_state": self.loss.adversarial.tx.init(params),
+        }
         return f"Init Adversarial Loss with pre-trained model: {d_path}\n"
 
     def save_checkpoint(self):
