@@ -6,7 +6,7 @@ fori_loop sweep per measurement, single fetch) across Pallas modes and
 images_per_program settings, sharing the model/params/data setup so each
 extra point only pays its own compile + first-execution cost.
 
-Usage:  python tools/kernel_sweep.py [mode[+flags][:ipp] ...]
+Usage:  python tools/kernel_sweep.py [--config=FILE.ini] [mode[+flags][:ipp] ...]
         default points: 0 swin pair rdstb rdstb:4 pack
         flags = dot-joined extras: int8 quant groups
         (qkv/mlp/proj/conv/all -> RDST_TPU_PALLAS_QUANT).
@@ -35,8 +35,11 @@ N_ITERS = int(os.environ.get("SWEEP_ITERS", 16))
 
 
 def main():
-    points = sys.argv[1:] or ["0", "swin", "pair", "rdstb", "rdstb:4",
-                              "pack"]
+    argv = sys.argv[1:]
+    config = "config_files/rdst_e1_oasis_x4.ini"
+    if argv and argv[0].startswith("--config="):
+        config = argv.pop(0).split("=", 1)[1]
+    points = argv or ["0", "swin", "pair", "rdstb", "rdstb:4", "pack"]
 
     import jax
     import jax.numpy as jnp
@@ -47,7 +50,7 @@ def main():
     from rdst_tpu.models import build_generator
 
     dtype = jnp.bfloat16
-    paras = ParametersLoader("config_files/rdst_e1_oasis_x4.ini")
+    paras = ParametersLoader(config)
     model = build_generator(paras, dtype=dtype)
     model32 = build_generator(paras)
 
