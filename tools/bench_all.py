@@ -68,14 +68,15 @@ def _sweep_throughput(model, params, volumes, dtype):
     return N_ITERS * SLICES_PER_VOLUME / dt
 
 
-def bench_inference(config_name, gen, extra=None):
+def bench_inference(config_name, gen, extra=None,
+                    config_file="config_files/rdst_e1_oasis_x4.ini"):
     import jax
     import jax.numpy as jnp
 
     from rdst_tpu.config import ParametersLoader
     from rdst_tpu.models import build_generator
 
-    paras = ParametersLoader("config_files/rdst_e1_oasis_x4.ini")
+    paras = ParametersLoader(config_file)
     paras.set("feature_generator", gen)
     for k, v in (extra or {}).items():
         paras.set(k, v)
@@ -227,6 +228,17 @@ def main():
         "config_files/rdst_e1_40k_oasis20_x4.ini")
     run(5, bench_training, "baseline-5-rdst-hrl-seg-finetune",
         "config_files/rdst_hrl_seg_ft_oasis_x4.ini", seg_loss=True, steps=16)
+    # extra (not a BASELINE config): SwinIR-standard, the 38%-params
+    # comparison's big model — C=180, where int8 qkv wins (PERF.md)
+    run(6, bench_inference, "extra-6-swinir-std", "swinir",
+        config_file="config_files/swinir_std_40k_oasis20_x4.ini")
+
+    # --skip'd configs keep their previous record when the out file exists
+    if args.skip and os.path.exists(args.out):
+        with open(args.out) as f:
+            old = {r["baseline_config"]: r for r in json.load(f)["records"]}
+        kept = [old[n] for n in sorted(old) if n in args.skip]
+        records = sorted(kept + records, key=lambda r: r["baseline_config"])
 
     with open(args.out, "w") as f:
         json.dump({"records": records}, f, indent=1)
