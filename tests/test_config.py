@@ -107,3 +107,29 @@ def test_loads_local_example_config():
     p = ParametersLoader(str(repo / "config_files" / "rdst_e1_oasis_x4.ini"))
     assert p.feature_generator == "rdst"
     assert p.sr_scale == 4.0
+
+
+def test_all_shipped_configs_lint():
+    """Every shipped config loads, names a buildable generator, and the
+    o20-corpus experiment configs share the canonical train/valid/test
+    split (train 1-16 / valid 17-18 / test 19-20) so their quality rows
+    stay comparable — guards against the round-3 HRL split drift."""
+    from rdst_tpu.models import build_generator
+
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    inis = sorted((repo / "config_files").glob("*.ini"))
+    assert len(inis) >= 9
+    o20 = []
+    for ini in inis:
+        p = ParametersLoader(str(ini))
+        model = build_generator(p)  # module construction only (no init)
+        assert model is not None, ini.name
+        if "oasis20" in ini.name:
+            o20.append((ini.name, p))
+    assert len(o20) >= 4
+    for name, p in o20:
+        assert p.testing_patient_ids_oasis == [
+            "OAS1_0019_MR1", "OAS1_0020_MR1"], name
+        assert p.validation_patient_ids_oasis == [
+            "OAS1_0017_MR1", "OAS1_0018_MR1"], name
+        assert len(p.training_patient_ids_oasis) == 16, name
