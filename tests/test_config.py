@@ -132,4 +132,7 @@ def test_all_shipped_configs_lint():
             "OAS1_0019_MR1", "OAS1_0020_MR1"], name
         assert p.validation_patient_ids_oasis == [
             "OAS1_0017_MR1", "OAS1_0018_MR1"], name
-        assert len(p.training_patient_ids_oasis) == 16, name
+        # membership, not just length: a 16-entry train list that leaks
+        # a held-out valid/test patient must fail the lint
+        assert p.training_patient_ids_oasis == [
+            f"OAS1_{i:04d}_MR1" for i in range(1, 17)], name

@@ -1,8 +1,9 @@
 #!/usr/bin/env python
-"""Multi-config benchmark (BASELINE.json configs 1-5) on the real TPU.
+"""Multi-config benchmark (BASELINE.json configs 1-5 + extras) on the
+real TPU.
 
 Extends bench.py's single-line headline with one JSON record per
-BASELINE config, written to BENCH_EXTRA.json (and echoed line by line):
+config, written to BENCH_EXTRA.json (and echoed line by line):
 
 1. RDST-E1 x4 inference         (bench.py methodology, bf16 + kernels)
 2. SwinIR-lightweight x4        (same harness, swinir generator)
@@ -13,7 +14,10 @@ BASELINE config, written to BENCH_EXTRA.json (and echoed line by line):
    dev tunnel actually sustains (see PERF.md methodology cautions).
    Plus the compiled cost model (FLOPs + HBM bytes) per step so pod
    users can extrapolate.
-5. RDST-HRL seg fine-tune step  (L1 + UNet-F loss, warm-started G)
+5. RDST-HRL seg fine-tune step  (L1 + UNet-F loss, warm-started G,
+   the o20-split config — matches the README comparison table)
+6. extra: SwinIR-standard x4 inference (11.9M params, C=180 — not a
+   BASELINE config; the 38%-params comparison's big model)
 
 All inference points share bench.py's timing discipline: HBM-resident
 volumes, ONE jitted fori_loop sweep per measurement, one device_get.
@@ -205,8 +209,18 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="BENCH_EXTRA.json")
     ap.add_argument("--skip", nargs="*", type=int, default=[],
-                    help="BASELINE config numbers to skip")
+                    help="record numbers to skip (1-5 BASELINE, 6 extra); "
+                         "skipped records keep their previous value when "
+                         "the out file already exists")
     args = ap.parse_args()
+
+    # load the previous out file BEFORE spending TPU time: a corrupt or
+    # old-format file must fail now, not after minutes of benching
+    old = {}
+    if args.skip and os.path.exists(args.out):
+        with open(args.out) as f:
+            old = {r["baseline_config"]: r
+                   for r in json.load(f)["records"] if "baseline_config" in r}
 
     records = []
 
@@ -226,19 +240,18 @@ def main():
     run(3, bench_inference, "baseline-3-rdn", "rdn")
     run(4, bench_training, "baseline-4-rdst-e1-l1-train",
         "config_files/rdst_e1_40k_oasis20_x4.ini")
+    # the o20 variant is the documented config-5 experiment (README table)
     run(5, bench_training, "baseline-5-rdst-hrl-seg-finetune",
-        "config_files/rdst_hrl_seg_ft_oasis_x4.ini", seg_loss=True, steps=16)
+        "config_files/rdst_hrl_seg_ft_oasis20_x4.ini", seg_loss=True,
+        steps=16)
     # extra (not a BASELINE config): SwinIR-standard, the 38%-params
     # comparison's big model — C=180, where int8 qkv wins (PERF.md)
     run(6, bench_inference, "extra-6-swinir-std", "swinir",
         config_file="config_files/swinir_std_40k_oasis20_x4.ini")
 
     # --skip'd configs keep their previous record when the out file exists
-    if args.skip and os.path.exists(args.out):
-        with open(args.out) as f:
-            old = {r["baseline_config"]: r for r in json.load(f)["records"]}
-        kept = [old[n] for n in sorted(old) if n in args.skip]
-        records = sorted(kept + records, key=lambda r: r["baseline_config"])
+    kept = [old[n] for n in sorted(old) if n in args.skip]
+    records = sorted(kept + records, key=lambda r: r["baseline_config"])
 
     with open(args.out, "w") as f:
         json.dump({"records": records}, f, indent=1)

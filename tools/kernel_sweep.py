@@ -1,5 +1,6 @@
 #!/usr/bin/env python
-"""Kernel-mode throughput sweep on the real TPU (RDST-E1 bench geometry).
+"""Kernel-mode throughput sweep on the real TPU (any generator config
+via --config=; default RDST-E1 bench geometry).
 
 Runs bench.py's exact methodology (HBM-resident volumes, one jitted
 fori_loop sweep per measurement, single fetch) across Pallas modes and
@@ -37,9 +38,33 @@ N_ITERS = int(os.environ.get("SWEEP_ITERS", 16))
 def main():
     argv = sys.argv[1:]
     config = "config_files/rdst_e1_oasis_x4.ini"
-    if argv and argv[0].startswith("--config="):
-        config = argv.pop(0).split("=", 1)[1]
-    points = argv or ["0", "swin", "pair", "rdstb", "rdstb:4", "pack"]
+    points = []
+    it = iter(argv)
+    for a in it:  # --config anywhere, both --config=F and --config F forms
+        if a.startswith("--config="):
+            config = a.split("=", 1)[1]
+        elif a == "--config":
+            config = next(it, None)
+            if config is None:
+                sys.exit("--config requires a FILE.ini argument")
+        elif a.startswith("--"):
+            sys.exit(f"unknown option {a!r} (see module docstring)")
+        else:
+            points.append(a)
+    points = points or ["0", "swin", "pair", "rdstb", "rdstb:4", "pack"]
+
+    # validate every point BEFORE the expensive jax/TPU setup
+    KNOWN_MODES = {"0", "off", "false", "swin", "pair", "rdstb", "pack",
+                   "1", "block"}  # 1/block are retired -> XLA fallthrough
+    KNOWN_FLAGS = {"qkv", "mlp", "proj", "conv", "all"}
+    for point in points:
+        mode, _, _ipp = point.partition(":")
+        mode, _, flags = mode.partition("+")
+        if mode not in KNOWN_MODES or set(flags.split(".")) - {""} - KNOWN_FLAGS:
+            sys.exit(f"unknown sweep point {point!r}: mode must be one of "
+                     f"{sorted(KNOWN_MODES)} and flags from "
+                     f"{sorted(KNOWN_FLAGS)} (unknown modes would silently "
+                     "measure the XLA path)")
 
     import jax
     import jax.numpy as jnp
