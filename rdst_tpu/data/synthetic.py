@@ -165,8 +165,10 @@ if __name__ == "__main__":
     ap.add_argument("--dataset", default="oasis", choices=["oasis", "brats", "acdc", "covid"])
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--n-patients", type=int, default=None,
-                    help="Override the number of phantoms (oasis: ids "
-                         "OAS1_0001_MR1..OAS1_{n:04d}_MR1).")
+                    help="Override the number of phantoms; ids follow each "
+                         "dataset's reference naming (oasis OAS1_{n:04d}_MR1, "
+                         "brats HGG_Brats17_SYN_{n:03d}_1, acdc patient{n:03d}, "
+                         "covid volume-covid19-A-{n:04d}).")
     args = ap.parse_args()
     maker = {
         "oasis": make_oasis_example,
@@ -174,11 +176,15 @@ if __name__ == "__main__":
         "acdc": make_acdc_example,
         "covid": make_covid_example,
     }[args.dataset]
+    id_format = {
+        "oasis": "OAS1_{:04d}_MR1",
+        "brats": "HGG_Brats17_SYN_{:03d}_1",
+        "acdc": "patient{:03d}",
+        "covid": "volume-covid19-A-{:04d}",
+    }[args.dataset]
     kwargs = {}
     if args.n_patients is not None:
-        if args.dataset != "oasis":
-            ap.error("--n-patients is only wired for the oasis layout")
         kwargs["patient_ids"] = tuple(
-            f"OAS1_{i:04d}_MR1" for i in range(1, args.n_patients + 1))
+            id_format.format(i) for i in range(1, args.n_patients + 1))
     maker(args.root, seed=args.seed, **kwargs)
     print(f"wrote synthetic {args.dataset} example data to {args.root}")

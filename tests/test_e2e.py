@@ -439,3 +439,69 @@ def test_metasr_residual_scale_blending(e2e_env):
     trainer.residual_scale = 0.0
     raw, _ = trainer._infer_pairs(ids)
     assert np.abs(raw[0][4.0] - recs[0][4.0]).max() > 1e-4
+
+
+def test_brats_multimodal_train_test(tmp_path):
+    """Full BraTS workflow on a tiny synthetic corpus: 4-modality channel
+    input through the trainer, then SRTester with the nested
+    MultiModalityMetaSREvaluation report (reference BraTS_dataset.py:99-113,
+    trans_sr_tester.py:117-122)."""
+    import pathlib
+
+    data = tmp_path / "BraTS" / "example"
+    synthetic.make_brats_example(
+        str(data),
+        patient_ids=("HGG_Brats17_SYN_001_1", "HGG_Brats17_SYN_002_1",
+                     "HGG_Brats17_SYN_003_1"),
+        shape=(48, 56, 40),
+    )
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    p = ParametersLoader(str(repo / "config_files" / "rdst_tiny_oasis_x4.ini"))
+    p.set("data_folder", str(data))
+    p.set("output_dir", str(tmp_path / "outputs"))
+    p.set("model_name", "RDST_TINY_BRATS")
+    p.set("input_channel", 4)
+    p.set("patch_size", 8)
+    p.set("medical_image_dim_brats", 2)
+    p.set("margin_brats", [2, 2])
+    p.set("modalities_brats", ["t1ce", "t1", "t2", "flair"])
+    p.set("batch_size", 8)
+    p.set("rdst_embed_dim", 12)
+    p.set("rdst_num_heads", [2, 2])
+    p.set("rdst_window_size", [4, 4])
+    p.set("rdst_dense_layer_depths", [2, 2])
+    p.set("rdst_rdb_depths", [1, 1])
+    p.set("rdst_growth_rate", 12)
+    p.set("epochs_in_total", {"WarmUP": 2})
+    p.set("check_every", 2)
+    p.set("quick_eva_num_samples", 2)
+    p.set("multi_threads", 1)
+    p.set("training_patient_ids_brats", ["HGG_Brats17_SYN_001_1"])
+    p.set("validation_patient_ids_brats", ["HGG_Brats17_SYN_002_1"])
+    p.set("testing_patient_ids_brats", ["HGG_Brats17_SYN_003_1"])
+
+    from rdst_tpu.data.readers import make_train_valid_datasets
+    from rdst_tpu.runners.trainer import SRTrainer
+
+    ds_train, ds_valid = make_train_valid_datasets(p)
+    batch = ds_train[0]
+    assert batch["in"].shape[-1] == 4  # 4 stacked modalities
+    trainer = SRTrainer(p, ds_train, ds_valid, seed=0)
+    trainer.setup()
+    trainer.train()
+
+    out = tmp_path / "outputs" / "RDST_TINY_BRATS_None"
+    snapshot = out / "models" / "WarmUP_model_g.msgpack"
+    assert snapshot.exists()
+
+    from rdst_tpu.runners.tester import SRTester
+
+    p.set("well_trained_single_scale_model_g", str(snapshot))
+    tester = SRTester(p)
+    tester.setup()
+    stacked = tester.test()
+    # nested per-modality reports, one entry per test slice
+    assert set(stacked) == {"t1ce", "t1", "t2", "flair"}
+    for modality, rep in stacked.items():
+        assert "psnr_4.0" in rep, modality
+        assert len(rep["psnr_4.0"]) > 0
