@@ -118,6 +118,13 @@ class MultiSRTrainDataset(SliceStore):
 
     def sample(self, rng: np.random.Generator) -> Dict[str, object]:
         """One training batch: same SR factor for all items (NHWC arrays)."""
+        if len(self) < self.batch_size:
+            # same no-replacement semantics as the reference
+            # (basic_dataset.py:192), but fail with an actionable message
+            raise ValueError(
+                f"training corpus has only {len(self)} slices but "
+                f"batch_size={self.batch_size} samples without replacement; "
+                "reduce batch_size or provide more data")
         ids = rng.choice(len(self), self.batch_size, replace=False)
         sr_factor = float(rng.choice(self.sr_scales))
         lr_size = self.get_lr_patch_size(sr_factor)

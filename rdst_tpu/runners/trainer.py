@@ -449,9 +449,15 @@ class SRTrainer:
     # -- data feeding ---------------------------------------------------------
 
     def _sampler(self, n: int, out_q: "queue.Queue", seed: int):
+        # exceptions must reach the main loop — a dead sampler thread would
+        # otherwise leave train() blocked on q.get() forever
         rng = np.random.default_rng(seed)
-        for _ in range(n):
-            out_q.put(self.ds_train.sample(rng))
+        try:
+            for _ in range(n):
+                out_q.put(self.ds_train.sample(rng))
+        except BaseException as e:  # noqa: BLE001 — re-raised in train()
+            out_q.put(e)
+            return
         out_q.put(None)
 
     # -- main loop ------------------------------------------------------------
@@ -491,6 +497,8 @@ class SRTrainer:
                 batch = q.get()
                 if batch is None:
                     break
+                if isinstance(batch, BaseException):
+                    raise batch
                 timer.tic()
                 host_batch = {"in": batch["in"], "out": batch["out"]}
                 if "seg_gt" in batch:

@@ -505,3 +505,112 @@ def test_brats_multimodal_train_test(tmp_path):
     for modality, rep in stacked.items():
         assert "psnr_4.0" in rep, modality
         assert len(rep["psnr_4.0"]) > 0
+
+
+def _tiny_config(repo, tmp_path, data, model_name, **overrides):
+    p = ParametersLoader(str(repo / "config_files" / "rdst_tiny_oasis_x4.ini"))
+    p.set("data_folder", str(data))
+    p.set("output_dir", str(tmp_path / "outputs"))
+    p.set("model_name", model_name)
+    p.set("patch_size", 8)
+    p.set("batch_size", 8)
+    p.set("rdst_embed_dim", 12)
+    p.set("rdst_num_heads", [2, 2])
+    p.set("rdst_window_size", [4, 4])
+    p.set("rdst_dense_layer_depths", [2, 2])
+    p.set("rdst_rdb_depths", [1, 1])
+    p.set("rdst_growth_rate", 12)
+    p.set("epochs_in_total", {"WarmUP": 2})
+    p.set("check_every", 2)
+    p.set("quick_eva_num_samples", 2)
+    p.set("multi_threads", 1)
+    for k, v in overrides.items():
+        p.set(k, v)
+    return p
+
+
+def _train_and_test(p, tmp_path, model_name):
+    from rdst_tpu.data.readers import make_train_valid_datasets
+    from rdst_tpu.runners.tester import SRTester
+    from rdst_tpu.runners.trainer import SRTrainer
+
+    ds_train, ds_valid = make_train_valid_datasets(p)
+    trainer = SRTrainer(p, ds_train, ds_valid, seed=0)
+    trainer.setup()
+    trainer.train()
+    snapshot = (tmp_path / "outputs" / f"{model_name}_None" / "models"
+                / "WarmUP_model_g.msgpack")
+    assert snapshot.exists()
+    p.set("well_trained_single_scale_model_g", str(snapshot))
+    tester = SRTester(p)
+    tester.setup()
+    return tester.test()
+
+
+def test_acdc_train_test(tmp_path):
+    """Full ACDC workflow on a tiny synthetic corpus: frame-glob reader,
+    centre crop, trainer, tester (reference ACDC_dataset.py:47-281)."""
+    import pathlib
+
+    data = tmp_path / "ACDC" / "example"
+    synthetic.make_acdc_example(
+        str(data), patient_ids=("patient001", "patient002", "patient003"),
+        shape=(150, 150, 8))
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    p = _tiny_config(
+        repo, tmp_path, data, "RDST_TINY_ACDC",
+        medical_image_dim_acdc=2, crop_size_acdc=128,
+        training_patient_ids_acdc=["patient001"],
+        validation_patient_ids_acdc=["patient002"],
+        testing_patient_ids_acdc=["patient003"])
+    stacked = _train_and_test(p, tmp_path, "RDST_TINY_ACDC")
+    assert "psnr_4.0" in stacked
+    assert len(stacked["psnr_4.0"]) > 0
+
+
+def test_covid_train_test(tmp_path):
+    """Full COVID-CT workflow on a tiny synthetic corpus: mask-paired CT
+    reader, hard-coded 512 centre crop, large-slice whole-image inference
+    (reference CovidCT_dataset.py:47-278)."""
+    import pathlib
+
+    data = tmp_path / "COVID" / "example"
+    # the phantom only fills the central z band and the mask threshold
+    # (>100 px) keeps ~4 of 16 slices — batch_size must fit that corpus
+    synthetic.make_covid_example(
+        str(data),
+        patient_ids=("volume-covid19-A-0001", "volume-covid19-A-0002",
+                     "volume-covid19-A-0003"),
+        shape=(540, 540, 16))
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    p = _tiny_config(
+        repo, tmp_path, data, "RDST_TINY_COVID",
+        batch_size=4,
+        medical_image_dim_covid=2, margin_covid=[90, 50],
+        training_patient_ids_covid=["volume-covid19-A-0001"],
+        validation_patient_ids_covid=["volume-covid19-A-0002"],
+        testing_patient_ids_covid=["volume-covid19-A-0003"])
+    stacked = _train_and_test(p, tmp_path, "RDST_TINY_COVID")
+    assert "psnr_4.0" in stacked
+    assert len(stacked["psnr_4.0"]) > 0
+
+
+def test_sampler_exception_propagates(tmp_path):
+    """A dataset error inside the sampler thread must raise in train(),
+    not leave the main loop blocked on the feed queue forever (regression:
+    an undersized corpus hung training instead of failing)."""
+    import pathlib
+
+    from rdst_tpu.data.readers import make_train_valid_datasets
+    from rdst_tpu.runners.trainer import SRTrainer
+
+    data = tmp_path / "OASIS" / "example"
+    synthetic.make_oasis_example(str(data), shape=(40, 48, 6))
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    p = _tiny_config(repo, tmp_path, data, "RDST_TINY_SAMPLER_ERR",
+                     margin_oasis=[2, 2], batch_size=512)
+    ds_train, ds_valid = make_train_valid_datasets(p)
+    trainer = SRTrainer(p, ds_train, ds_valid, seed=0)
+    trainer.setup()
+    with pytest.raises(ValueError, match="batch_size"):
+        trainer.train()

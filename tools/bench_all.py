@@ -18,6 +18,8 @@ config, written to BENCH_EXTRA.json (and echoed line by line):
    the o20-split config — matches the README comparison table)
 6. extra: SwinIR-standard x4 inference (11.9M params, C=180 — not a
    BASELINE config; the 38%-params comparison's big model)
+7. extra: RDST-W96 x4 inference (11.28M params — the capacity-matched
+   RDST from the equal-capacity comparison)
 
 All inference points share bench.py's timing discipline: HBM-resident
 volumes, ONE jitted fori_loop sweep per measurement, one device_get.
@@ -209,7 +211,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="BENCH_EXTRA.json")
     ap.add_argument("--skip", nargs="*", type=int, default=[],
-                    help="record numbers to skip (1-5 BASELINE, 6 extra); "
+                    help="record numbers to skip (1-5 BASELINE, 6-7 extra); "
                          "skipped records keep their previous value when "
                          "the out file already exists")
     args = ap.parse_args()
@@ -248,6 +250,10 @@ def main():
     # comparison's big model — C=180, where int8 qkv wins (PERF.md)
     run(6, bench_inference, "extra-6-swinir-std", "swinir",
         config_file="config_files/swinir_std_40k_oasis20_x4.ini")
+    # extra: RDST-W96, the capacity-matched RDST (11.28M ~ SwinIR-std's
+    # 11.90M) from the equal-capacity comparison (README table)
+    run(7, bench_inference, "extra-7-rdst-w96", "rdst",
+        config_file="config_files/rdst_w96_40k_oasis20_x4.ini")
 
     # --skip'd configs keep their previous record when the out file exists
     kept = [old[n] for n in sorted(old) if n in args.skip]
