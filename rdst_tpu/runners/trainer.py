@@ -104,6 +104,18 @@ class SRTrainer:
         # input batches are in flight on the device queue.
         self.scalar_flush_steps = int(paras.get("scalar_flush_steps", 64) or 64)
 
+        # Stall watchdog (failure detection, SURVEY §5.3): a lost device
+        # RPC leaves the host blocked inside a fetch with 0 CPU and no
+        # error — observed in production on the axon tunnel. The watchdog
+        # logs after ``stall_warn_s`` without a completed step (default
+        # 600 s: first-compile of a big train step can take minutes) and,
+        # when ``stall_abort_s`` > 0, hard-exits the process so an outer
+        # supervisor loop can restart it — training auto-resumes from the
+        # last checkpoint.
+        self.stall_warn_s = float(paras.get("stall_warn_s", 600) or 0)
+        self.stall_abort_s = float(paras.get("stall_abort_s", 0) or 0)
+        self._wd_step = -1  # heartbeat: last completed loop iteration
+
         self.quick_eva_func = ds_valid.get_quick_eva_func()
         self.final_eva_func = ds_valid.get_final_eva_func()
         self.quick_eva_num_samples = paras.quick_eva_num_samples
@@ -460,6 +472,30 @@ class SRTrainer:
             return
         out_q.put(None)
 
+    def _watchdog(self, stop: "threading.Event", warn_s: float,
+                  abort_s: float):
+        """Log (and optionally abort) when the step loop stops beating."""
+        last_step, last_t = self._wd_step, time.monotonic()
+        warned = False
+        poll = max(1.0, min(warn_s, 60.0))
+        while not stop.wait(poll):
+            step, now = self._wd_step, time.monotonic()
+            if step != last_step:
+                last_step, last_t, warned = step, now, False
+                continue
+            stalled = now - last_t
+            if stalled >= warn_s and not warned:
+                self.write_log(
+                    f"WATCHDOG: no completed training step for {stalled:.0f}s "
+                    f"(step {step}); likely a wedged device dispatch/fetch")
+                warned = True
+            if abort_s > 0 and stalled >= abort_s:
+                self.write_log(
+                    f"WATCHDOG: aborting after {stalled:.0f}s stall — "
+                    "restart to auto-resume from the last checkpoint")
+                os._exit(17)
+                return  # unreachable unless _exit is stubbed (tests)
+
     # -- main loop ------------------------------------------------------------
 
     def train(self):
@@ -492,6 +528,14 @@ class SRTrainer:
             t.start()
 
             timer = Timer()
+            # one watchdog per state loop: the post-loop tail (final_eva)
+            # and inter-state transitions are legitimately slow
+            wd_stop = threading.Event()
+            if self.stall_warn_s > 0:
+                threading.Thread(
+                    target=self._watchdog, daemon=True,
+                    args=(wd_stop, self.stall_warn_s, self.stall_abort_s),
+                ).start()
             pending: list = []  # deferred (total, report) device scalars
             while True:
                 batch = q.get()
@@ -552,8 +596,10 @@ class SRTrainer:
                         f"[{ts}] epoch {self.current_epoch}/{self.epochs_in_total[ts]} "
                         f"loss={self._last_total_f:.6f} ({np.mean(self.training_epoch_costs[-self.check_every:]):.3f}s/epoch)\n"
                         + plog)
+                self._wd_step = self.state.step  # watchdog heartbeat
 
             self._flush_scalar_records(pending, ts)
+            wd_stop.set()  # post-loop tail (final_eva) is legitimately slow
             self.save_models(ts)
             self.write_log(self.final_eva(ts))
             self.current_epoch = 0

@@ -614,3 +614,53 @@ def test_sampler_exception_propagates(tmp_path):
     trainer.setup()
     with pytest.raises(ValueError, match="batch_size"):
         trainer.train()
+
+
+def test_stall_watchdog(tmp_path, monkeypatch):
+    """The stall watchdog logs when no step completes within stall_warn_s
+    and hard-exits at stall_abort_s (failure detection for wedged device
+    RPCs: the host otherwise blocks in a fetch with no error forever)."""
+    import pathlib
+    import threading
+    import time as _time
+
+    from rdst_tpu.data.readers import make_train_valid_datasets
+    from rdst_tpu.runners import trainer as trainer_mod
+    from rdst_tpu.runners.trainer import SRTrainer
+
+    data = tmp_path / "OASIS" / "example"
+    synthetic.make_oasis_example(str(data), shape=(40, 48, 24))
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    p = _tiny_config(repo, tmp_path, data, "RDST_TINY_WATCHDOG",
+                     margin_oasis=[2, 2], stall_warn_s=0.5, stall_abort_s=2.0)
+    ds_train, ds_valid = make_train_valid_datasets(p)
+    trainer = SRTrainer(p, ds_train, ds_valid, seed=0)
+    trainer.setup()
+    assert trainer.stall_warn_s == 0.5 and trainer.stall_abort_s == 2.0
+
+    exited = {}
+    monkeypatch.setattr(trainer_mod.os, "_exit",
+                        lambda code: exited.setdefault("code", code))
+    # drive the watchdog directly against a frozen heartbeat
+    stop = threading.Event()
+    t = threading.Thread(target=trainer._watchdog, args=(stop, 0.5, 2.0))
+    t.start()
+    deadline = _time.monotonic() + 30
+    while "code" not in exited and _time.monotonic() < deadline:
+        _time.sleep(0.1)
+    stop.set()
+    t.join(timeout=10)
+    assert exited.get("code") == 17
+    log = (tmp_path / "outputs" / "RDST_TINY_WATCHDOG_None"
+           / "training_log.txt").read_text()
+    assert "WATCHDOG: no completed training step" in log
+    assert "WATCHDOG: aborting" in log
+
+    # a normal tiny run with production thresholds (first CPU compile of
+    # the train step legitimately exceeds seconds-scale ones) trains to
+    # completion and triggers nothing
+    trainer.stall_warn_s, trainer.stall_abort_s = 600.0, 0.0
+    trainer.train()
+    log = (tmp_path / "outputs" / "RDST_TINY_WATCHDOG_None"
+           / "training_log.txt").read_text()
+    assert log.count("WATCHDOG: aborting") == 1  # only the frozen-probe one
