@@ -1,0 +1,22 @@
+#!/bin/bash
+# Training supervisor: restart train.py when the stall watchdog aborts.
+#
+# The trainer's watchdog (stall_abort_s config key, runners/trainer.py)
+# exits with code 17 when no training step completes inside the window —
+# the signature of a lost device RPC wedging the host. Training
+# checkpoints every check_every steps and auto-resumes, so a restart
+# loses at most one checkpoint interval. Any other exit code (success,
+# real crash, Ctrl-C) ends the loop.
+#
+# Usage: tools/supervise.sh --config-file config_files/<cfg>.ini [args...]
+#        (pass stall_abort_s via the config or a KEY=VALUE override,
+#         e.g. stall_abort_s=1800)
+set -u
+while true; do
+  python train.py "$@"
+  code=$?
+  if [ "$code" -ne 17 ]; then
+    exit "$code"
+  fi
+  echo "supervise: watchdog abort (17) — restarting from last checkpoint" >&2
+done
