@@ -50,6 +50,7 @@ def brain_phantom(
     rng: np.random.Generator,
     shape: Tuple[int, int, int] = (96, 112, 96),
     n_classes: int = 4,
+    bg_noise: float = 0.0,
 ):
     """Returns (volume float32 in [0, max], labels uint8 in [0, n_classes-1]).
 
@@ -77,6 +78,14 @@ def brain_phantom(
         vol[labels == cls] = intensities[cls - 1]
     vol += 0.25 * _smooth_noise(rng, shape, 2.5) * (labels > 0)
     vol += 0.01 * rng.normal(0, 1, shape) * (labels > 0)
+    if bg_noise:
+        # unmasked scanner-noise floor: real acquisitions are never
+        # exactly constant anywhere, and exactly-constant patches give
+        # LayerNorm zero variance — its backward then amplifies by
+        # 1/sqrt(eps) per block and the gradients overflow (observed on
+        # the noise-free COVID corpus; guarded in the trainer, but the
+        # data should be realistic too)
+        vol += bg_noise * np.abs(rng.normal(0, 1, shape))
     vol = np.clip(vol, 0, None)
     # scanner-like arbitrary intensity scale (reference normalizes per-patient)
     vol *= float(rng.uniform(800, 3000))
@@ -151,7 +160,10 @@ def make_covid_example(
     os.makedirs(join(root, "mask"), exist_ok=True)
     for i, pid in enumerate(patient_ids):
         rng = np.random.default_rng(seed + 300 + i)
-        vol, labels = brain_phantom(rng, shape, n_classes=3)
+        # CT-like noise floor OUTSIDE the anatomy too: the 512 centre
+        # crop keeps large air regions, and exactly-constant patches
+        # blow up LayerNorm backward (see brain_phantom.bg_noise)
+        vol, labels = brain_phantom(rng, shape, n_classes=3, bg_noise=0.005)
         io.save(join(root, f"{pid}.nii.gz"), vol)
         # reference globs mask/{pid}.nii.gz (CovidCT_dataset.py:65)
         io.save(join(root, "mask", f"{pid}.nii.gz"), (labels > 1).astype(np.uint8))

@@ -42,6 +42,20 @@ from rdst_tpu.parallel import (make_mesh_from_paras, replicate_tree,
 from rdst_tpu.utils.optim import Timer, make_optimizer
 
 
+def tree_finite(tree) -> "jnp.ndarray":
+    """In-graph scalar: every leaf of ``tree`` is finite.
+
+    Used by the step guard: a finite loss does NOT imply finite grads —
+    one inf/nan leaf (e.g. backward overflow through LayerNorm on an
+    exactly-constant patch) would poison the params forever, freezing
+    training behind a loss-only guard from then on.
+    """
+    ok = jnp.array(True)
+    for g in jax.tree.leaves(tree):
+        ok &= jnp.isfinite(g).all()
+    return ok
+
+
 def fancy_print(msg: str) -> str:
     bar = "#" * max(32, len(msg) + 8)
     return f"\n{bar}\n#   {msg}\n{bar}\n"
@@ -157,6 +171,24 @@ class SRTrainer:
             os.makedirs(d, exist_ok=True)
         self.write_log(str(self.paras))
 
+        # setup dispatches device work too (jitted init, checkpoint
+        # restore) and a lost RPC can wedge it exactly like a train step
+        # — observed in production. NB: stall_abort_s must exceed the
+        # worst-case first-compile + first-execution of a fresh program.
+        wd_stop = None
+        if self.stall_warn_s > 0:
+            wd_stop = threading.Event()
+            threading.Thread(
+                target=self._watchdog, daemon=True,
+                args=(wd_stop, self.stall_warn_s, self.stall_abort_s),
+            ).start()
+        try:
+            self._setup_inner()
+        finally:
+            if wd_stop is not None:
+                wd_stop.set()
+
+    def _setup_inner(self):
         x0 = jnp.zeros((1, self.paras.patch_size, self.paras.patch_size,
                         self.paras.input_channel), jnp.float32)
         if self.paras.scale_free:
@@ -409,7 +441,7 @@ class SRTrainer:
             return loss(pred, batch, training_state, adv_state=d_state)
 
         def guarded_update(params, opt_state, grads, total):
-            ok = jnp.isfinite(total) & (total < threshold)
+            ok = jnp.isfinite(total) & (total < threshold) & tree_finite(grads)
 
             def do_update(_):
                 updates, new_opt = tx.update(grads, opt_state, params)
@@ -486,7 +518,7 @@ class SRTrainer:
             stalled = now - last_t
             if stalled >= warn_s and not warned:
                 self.write_log(
-                    f"WATCHDOG: no completed training step for {stalled:.0f}s "
+                    f"WATCHDOG: no training progress for {stalled:.0f}s "
                     f"(step {step}); likely a wedged device dispatch/fetch")
                 warned = True
             if abort_s > 0 and stalled >= abort_s:
@@ -694,6 +726,10 @@ class SRTrainer:
             return ""
         score = float(np.mean(vals))
         ts = self.training_states[self.current_state_id]
+        # nan fails every <= comparison and would silently replace the
+        # best snapshot with diverged params
+        if not np.isfinite(score):
+            return ""
         if score <= self._best_quick.get(ts, float("-inf")):
             return ""
         self._best_quick[ts] = score

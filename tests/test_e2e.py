@@ -653,7 +653,7 @@ def test_stall_watchdog(tmp_path, monkeypatch):
     assert exited.get("code") == 17
     log = (tmp_path / "outputs" / "RDST_TINY_WATCHDOG_None"
            / "training_log.txt").read_text()
-    assert "WATCHDOG: no completed training step" in log
+    assert "WATCHDOG: no training progress" in log
     assert "WATCHDOG: aborting" in log
 
     # a normal tiny run with production thresholds (first CPU compile of
@@ -664,3 +664,59 @@ def test_stall_watchdog(tmp_path, monkeypatch):
     log = (tmp_path / "outputs" / "RDST_TINY_WATCHDOG_None"
            / "training_log.txt").read_text()
     assert log.count("WATCHDOG: aborting") == 1  # only the frozen-probe one
+
+
+def test_nonfinite_grad_guard(tmp_path):
+    """The step guard must reject non-finite GRADS, not just non-finite
+    loss: exactly-constant patches give LayerNorm zero variance, its
+    backward amplifies by ~1/sqrt(eps) per block, and on deep configs the
+    grads overflow while the loss stays finite — an unguarded update
+    would poison the params forever (observed on the noise-free COVID
+    corpus)."""
+    import pathlib
+
+    import jax
+    import jax.numpy as jnp
+
+    from rdst_tpu.data.readers import make_train_valid_datasets
+    from rdst_tpu.parallel import shard_batch
+    from rdst_tpu.runners.trainer import SRTrainer, tree_finite
+
+    # unit semantics of the shared in-graph guard predicate
+    good = {"a": jnp.ones((3,)), "b": jnp.zeros((2, 2))}
+    assert bool(tree_finite(good))
+    for bad_val in (jnp.nan, jnp.inf, -jnp.inf):
+        bad = {"a": jnp.ones((3,)), "b": jnp.full((2, 2), bad_val)}
+        assert not bool(tree_finite(bad))
+
+    # integration: a poisoned batch flips the step's ok flag and leaves
+    # the params untouched and finite
+    data = tmp_path / "OASIS" / "example"
+    synthetic.make_oasis_example(str(data), shape=(40, 48, 24))
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    p = _tiny_config(repo, tmp_path, data, "RDST_TINY_GRADGUARD",
+                     margin_oasis=[2, 2])
+    ds_train, ds_valid = make_train_valid_datasets(p)
+    trainer = SRTrainer(p, ds_train, ds_valid, seed=0)
+    trainer.setup()
+    ts = trainer.training_states[0]
+    trainer.loss.set_training_state(ts)
+    step_fn = trainer._make_train_step(ts)
+
+    batch = ds_train.sample(np.random.default_rng(0))
+    sr = float(batch["sr_factor"])
+    db = shard_batch(trainer.mesh, {"in": batch["in"], "out": batch["out"]})
+    p1, o1, total, report, ok = step_fn(
+        trainer.state.params, trainer.state.opt_state, db,
+        jax.random.PRNGKey(0), sr)
+    assert bool(ok)
+
+    p1_host = jax.tree.map(np.asarray, jax.device_get(p1))  # donated below
+    poisoned = dict(db)
+    poisoned["in"] = db["in"].at[0, 0, 0, 0].set(jnp.nan)
+    p2, o2, total2, report2, ok2 = step_fn(
+        p1, o1, poisoned, jax.random.PRNGKey(1), sr)
+    assert not bool(ok2)
+    assert all(bool(jnp.isfinite(v).all()) for v in jax.tree.leaves(p2))
+    assert all(np.allclose(a, np.asarray(b))
+               for a, b in zip(jax.tree.leaves(p1_host), jax.tree.leaves(p2)))
