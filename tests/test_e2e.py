@@ -720,3 +720,59 @@ def test_nonfinite_grad_guard(tmp_path):
     assert all(bool(jnp.isfinite(v).all()) for v in jax.tree.leaves(p2))
     assert all(np.allclose(a, np.asarray(b))
                for a, b in zip(jax.tree.leaves(p1_host), jax.tree.leaves(p2)))
+
+
+def test_metasr_fractional_scale_workflow(tmp_path):
+    """The shipped Meta-SR workflow end-to-end at a FRACTIONAL test
+    scale: scale-free training over a continuous scale set, then the
+    tester scores x1.5 — a scale that exists as no fixed head anywhere
+    (reference meta_sr_trainer.py + networks/meta_sr.py)."""
+    import pathlib
+
+    from rdst_tpu.data.readers import make_train_valid_datasets
+    from rdst_tpu.runners.tester import SRTester
+    from rdst_tpu.runners.trainer import SRTrainer
+
+    data = tmp_path / "OASIS" / "example"
+    synthetic.make_oasis_example(str(data), shape=(40, 48, 24))
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    p = ParametersLoader(str(repo / "config_files"
+                              / "metasr_20k_oasis20_x4.ini"))
+    p.set("data_folder", str(data))
+    p.set("output_dir", str(tmp_path / "outputs"))
+    p.set("model_name", "METASR_TINY")
+    p.set("patch_size", 8)
+    p.set("batch_size", 8)
+    p.set("margin_oasis", [2, 2])
+    p.set("edsr_n_feats", 8)
+    p.set("edsr_n_resblocks", 1)
+    p.set("all_sr_scales", [1.5, 4.0])
+    p.set("test_sr_scales", [4.0])
+    p.set("sr_scales_for_final_testing", [1.5, 4.0])
+    p.set("sr_scales_for_saving", [])
+    p.set("epochs_in_total", {"WarmUP": 2})
+    p.set("check_every", 2)
+    p.set("quick_eva_num_samples", 2)
+    p.set("multi_threads", 1)
+    p.set("training_patient_ids_oasis", ["OAS1_0001_MR1", "OAS1_0002_MR1"])
+    p.set("validation_patient_ids_oasis", ["OAS1_0003_MR1"])
+    p.set("testing_patient_ids_oasis", ["OAS1_0004_MR1"])
+
+    ds_train, ds_valid = make_train_valid_datasets(p)
+    trainer = SRTrainer(p, ds_train, ds_valid, seed=0)
+    trainer.setup()
+    trainer.train()
+    snap = (tmp_path / "outputs" / "METASR_TINY_None" / "models"
+            / "WarmUP_model_g.msgpack")
+    assert snap.exists()
+
+    p.set("well_trained_single_scale_model_g", str(snap))
+    tester = SRTester(p)
+    tester.setup()
+    stacked = tester.test()
+    assert "psnr_1.5" in stacked and "psnr_4.0" in stacked
+    # finite scores at a scale that exists nowhere as a fixed head is
+    # the workflow proof; quality ordering needs a trained model (the
+    # 2-epoch toy model here ranks scales arbitrarily)
+    assert np.isfinite(stacked["psnr_1.5"]).all()
+    assert np.isfinite(stacked["psnr_4.0"]).all()
