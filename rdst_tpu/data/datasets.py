@@ -116,16 +116,20 @@ class MultiSRTrainDataset(SliceStore):
                 self.std = list(np.std(stack, axis=(0, 1, 2)))
             del stack
 
-    def sample(self, rng: np.random.Generator) -> Dict[str, object]:
-        """One training batch: same SR factor for all items (NHWC arrays)."""
+    def sample_ids(self, rng: np.random.Generator) -> np.ndarray:
+        """Batch slice indices — the reference's no-replacement semantics
+        (basic_dataset.py:192) with an actionable undersized-corpus error.
+        Shared by every sample() override."""
         if len(self) < self.batch_size:
-            # same no-replacement semantics as the reference
-            # (basic_dataset.py:192), but fail with an actionable message
             raise ValueError(
                 f"training corpus has only {len(self)} slices but "
                 f"batch_size={self.batch_size} samples without replacement; "
                 "reduce batch_size or provide more data")
-        ids = rng.choice(len(self), self.batch_size, replace=False)
+        return rng.choice(len(self), self.batch_size, replace=False)
+
+    def sample(self, rng: np.random.Generator) -> Dict[str, object]:
+        """One training batch: same SR factor for all items (NHWC arrays)."""
+        ids = self.sample_ids(rng)
         sr_factor = float(rng.choice(self.sr_scales))
         lr_size = self.get_lr_patch_size(sr_factor)
         hr_size = self.get_hr_patch_size(sr_factor)

@@ -105,7 +105,7 @@ class OASISSegSRTrain(OASISMultiSRTrain):
         self.segmentation_labels = thread_map(pad.pad, raw_labels, paras.multi_threads)
 
     def sample(self, rng: np.random.Generator):
-        ids = rng.choice(len(self), self.batch_size, replace=False)
+        ids = self.sample_ids(rng)
         sr_factor = float(rng.choice(self.sr_scales))
         lr_size = self.get_lr_patch_size(sr_factor)
         hr_size = self.get_hr_patch_size(sr_factor)

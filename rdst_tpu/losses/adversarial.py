@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import optax
 
 from rdst_tpu.losses.discriminators import build_discriminator
-from rdst_tpu.utils.optim import make_optimizer
+from rdst_tpu.utils.optim import make_optimizer, tree_finite
 
 
 def _bce_logits(logits, labels):
@@ -114,10 +114,19 @@ class ScaleAdversarial:
                     loss_d = loss_d + 10.0 * jnp.mean((gnorm - 1.0) ** 2)
                 return loss_d, (loss_fake, loss_real, new_stats)
 
+            old_stats = batch_stats
             (loss_d, (loss_fake, loss_real, batch_stats)), grads = (
                 jax.value_and_grad(loss_fn, has_aux=True)(params))
-            updates, opt_state = self.tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
+            # same finite guard as the generator step: one bad batch
+            # with inf/nan D grads would poison d_state (params AND the
+            # BN running stats) permanently, making every later G step's
+            # adversarial term nan and silently freezing the fine-tune
+            ok = tree_finite(grads) & jnp.isfinite(loss_d)
+            new_updates, new_opt = self.tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, new_updates)
+            params, opt_state, batch_stats = jax.lax.cond(
+                ok, lambda _: (new_params, new_opt, batch_stats),
+                lambda _: (params, opt_state, old_stats), None)
             if self.gan_type == "WGAN":
                 c = self.wgan_clip_value
                 params = jax.tree.map(lambda p: jnp.clip(p, -c, c), params)

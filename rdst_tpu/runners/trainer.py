@@ -30,6 +30,8 @@ from functools import partial
 from os.path import exists, join
 from typing import Dict, Optional
 
+from contextlib import contextmanager
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -39,21 +41,7 @@ from rdst_tpu.models import build_generator
 from rdst_tpu.parallel import (make_mesh_from_paras, replicate_tree,
                                shard_batch, shard_batch_padded,
                                shard_params_tp)
-from rdst_tpu.utils.optim import Timer, make_optimizer
-
-
-def tree_finite(tree) -> "jnp.ndarray":
-    """In-graph scalar: every leaf of ``tree`` is finite.
-
-    Used by the step guard: a finite loss does NOT imply finite grads —
-    one inf/nan leaf (e.g. backward overflow through LayerNorm on an
-    exactly-constant patch) would poison the params forever, freezing
-    training behind a loss-only guard from then on.
-    """
-    ok = jnp.array(True)
-    for g in jax.tree.leaves(tree):
-        ok &= jnp.isfinite(g).all()
-    return ok
+from rdst_tpu.utils.optim import Timer, make_optimizer, tree_finite
 
 
 def fancy_print(msg: str) -> str:
@@ -175,18 +163,8 @@ class SRTrainer:
         # restore) and a lost RPC can wedge it exactly like a train step
         # — observed in production. NB: stall_abort_s must exceed the
         # worst-case first-compile + first-execution of a fresh program.
-        wd_stop = None
-        if self.stall_warn_s > 0:
-            wd_stop = threading.Event()
-            threading.Thread(
-                target=self._watchdog, daemon=True,
-                args=(wd_stop, self.stall_warn_s, self.stall_abort_s),
-            ).start()
-        try:
+        with self._stall_watchdog():
             self._setup_inner()
-        finally:
-            if wd_stop is not None:
-                wd_stop.set()
 
     def _setup_inner(self):
         x0 = jnp.zeros((1, self.paras.patch_size, self.paras.patch_size,
@@ -504,6 +482,24 @@ class SRTrainer:
             return
         out_q.put(None)
 
+    @contextmanager
+    def _stall_watchdog(self):
+        """Run a stall watchdog for the enclosed block; always stopped —
+        including on exception paths, where a leaked abort-mode watchdog
+        would later os._exit(17) an otherwise-healthy process."""
+        stop = None
+        if self.stall_warn_s > 0:
+            stop = threading.Event()
+            threading.Thread(
+                target=self._watchdog, daemon=True,
+                args=(stop, self.stall_warn_s, self.stall_abort_s),
+            ).start()
+        try:
+            yield
+        finally:
+            if stop is not None:
+                stop.set()
+
     def _watchdog(self, stop: "threading.Event", warn_s: float,
                   abort_s: float):
         """Log (and optionally abort) when the step loop stops beating."""
@@ -560,78 +556,73 @@ class SRTrainer:
             t.start()
 
             timer = Timer()
-            # one watchdog per state loop: the post-loop tail (final_eva)
-            # and inter-state transitions are legitimately slow
-            wd_stop = threading.Event()
-            if self.stall_warn_s > 0:
-                threading.Thread(
-                    target=self._watchdog, daemon=True,
-                    args=(wd_stop, self.stall_warn_s, self.stall_abort_s),
-                ).start()
             pending: list = []  # deferred (total, report) device scalars
-            while True:
-                batch = q.get()
-                if batch is None:
-                    break
-                if isinstance(batch, BaseException):
-                    raise batch
-                timer.tic()
-                host_batch = {"in": batch["in"], "out": batch["out"]}
-                if "seg_gt" in batch:
-                    host_batch["seg_gt"] = batch["seg_gt"]
-                if self.residual_scale > 0:
-                    host_batch["res"] = batch["res"]
-                if self.paras.scale_free or self.loss.adversarial is not None:
-                    # ScaleGAN's D labels are 1/scale, so the adversarial
-                    # path needs per-batch scales on fixed-scale configs too
-                    scale_val = (batch["real_sr_scale"]
-                                 if self.paras.scale_free
-                                 else batch["sr_factor"])
-                    host_batch["sr_scales"] = np.full(
-                        (batch["in"].shape[0], 1), scale_val, np.float32)
-                device_batch = shard_batch(self.mesh, host_batch,
-                                           spatial=self.spatial_axis)
+            # one watchdog per state loop, stopped on every exit path
+            # (exceptions included): the post-loop tail (final_eva) and
+            # inter-state transitions are legitimately slow
+            with self._stall_watchdog():
+                while True:
+                    batch = q.get()
+                    if batch is None:
+                        break
+                    if isinstance(batch, BaseException):
+                        raise batch
+                    timer.tic()
+                    host_batch = {"in": batch["in"], "out": batch["out"]}
+                    if "seg_gt" in batch:
+                        host_batch["seg_gt"] = batch["seg_gt"]
+                    if self.residual_scale > 0:
+                        host_batch["res"] = batch["res"]
+                    if self.paras.scale_free or self.loss.adversarial is not None:
+                        # ScaleGAN's D labels are 1/scale, so the adversarial
+                        # path needs per-batch scales on fixed-scale configs too
+                        scale_val = (batch["real_sr_scale"]
+                                     if self.paras.scale_free
+                                     else batch["sr_factor"])
+                        host_batch["sr_scales"] = np.full(
+                            (batch["in"].shape[0], 1), scale_val, np.float32)
+                    device_batch = shard_batch(self.mesh, host_batch,
+                                               spatial=self.spatial_axis)
 
-                self.jax_rng, step_rng = jax.random.split(self.jax_rng)
-                gan_active = (self.loss.adversarial is not None and
-                              any("GAN" in n for n in
-                                  self.loss.loss_scalars[ts]))
-                sr_factor = float(batch["real_sr_scale"]
-                                  if self.paras.scale_free
-                                  else batch["sr_factor"])
-                if gan_active:
-                    (self.state.params, self.state.opt_state, self.d_state,
-                     total, report, ok) = step_fn(
-                        self.state.params, self.state.opt_state, self.d_state,
-                        device_batch, step_rng, sr_factor)
-                else:
-                    (self.state.params, self.state.opt_state, total, report, ok
-                     ) = step_fn(self.state.params, self.state.opt_state,
-                                 device_batch, step_rng, sr_factor)
+                    self.jax_rng, step_rng = jax.random.split(self.jax_rng)
+                    gan_active = (self.loss.adversarial is not None and
+                                  any("GAN" in n for n in
+                                      self.loss.loss_scalars[ts]))
+                    sr_factor = float(batch["real_sr_scale"]
+                                      if self.paras.scale_free
+                                      else batch["sr_factor"])
+                    if gan_active:
+                        (self.state.params, self.state.opt_state, self.d_state,
+                         total, report, ok) = step_fn(
+                            self.state.params, self.state.opt_state, self.d_state,
+                            device_batch, step_rng, sr_factor)
+                    else:
+                        (self.state.params, self.state.opt_state, total, report, ok
+                         ) = step_fn(self.state.params, self.state.opt_state,
+                                     device_batch, step_rng, sr_factor)
 
-                self.state.step += 1
-                self.current_epoch += 1
-                steps_this_run += 1
-                # host-side records: defer the scalar fetch — one batched
-                # device_get per flush window instead of a sync every step,
-                # so dispatch pipelines ahead of the device
-                pending.append((total, report))
-                at_check = self.current_epoch % self.check_every == 0
-                if len(pending) >= self.scalar_flush_steps or at_check:
-                    self._flush_scalar_records(pending, ts)
-                self.training_epoch_costs.append(timer.toc())
+                    self.state.step += 1
+                    self.current_epoch += 1
+                    steps_this_run += 1
+                    # host-side records: defer the scalar fetch — one batched
+                    # device_get per flush window instead of a sync every step,
+                    # so dispatch pipelines ahead of the device
+                    pending.append((total, report))
+                    at_check = self.current_epoch % self.check_every == 0
+                    if len(pending) >= self.scalar_flush_steps or at_check:
+                        self._flush_scalar_records(pending, ts)
+                    self.training_epoch_costs.append(timer.toc())
 
-                if at_check:
-                    plog = self.quick_eva()
-                    self.save_checkpoint()
-                    self.write_log(
-                        f"[{ts}] epoch {self.current_epoch}/{self.epochs_in_total[ts]} "
-                        f"loss={self._last_total_f:.6f} ({np.mean(self.training_epoch_costs[-self.check_every:]):.3f}s/epoch)\n"
-                        + plog)
-                self._wd_step = self.state.step  # watchdog heartbeat
+                    if at_check:
+                        plog = self.quick_eva()
+                        self.save_checkpoint()
+                        self.write_log(
+                            f"[{ts}] epoch {self.current_epoch}/{self.epochs_in_total[ts]} "
+                            f"loss={self._last_total_f:.6f} ({np.mean(self.training_epoch_costs[-self.check_every:]):.3f}s/epoch)\n"
+                            + plog)
+                    self._wd_step = self.state.step  # watchdog heartbeat
 
-            self._flush_scalar_records(pending, ts)
-            wd_stop.set()  # post-loop tail (final_eva) is legitimately slow
+                self._flush_scalar_records(pending, ts)
             self.save_models(ts)
             self.write_log(self.final_eva(ts))
             self.current_epoch = 0

@@ -14,7 +14,24 @@ from __future__ import annotations
 import time
 from typing import Optional
 
+import jax
+import jax.numpy as jnp
 import optax
+
+
+def tree_finite(tree) -> "jnp.ndarray":
+    """In-graph scalar: every leaf of ``tree`` is finite.
+
+    Shared by the generator and discriminator step guards: a finite
+    loss does NOT imply finite grads — one inf/nan leaf (e.g. backward
+    overflow through LayerNorm on an exactly-constant patch) would
+    poison the params forever, freezing training behind a loss-only
+    guard from then on.
+    """
+    ok = jnp.array(True)
+    for g in jax.tree.leaves(tree):
+        ok &= jnp.isfinite(g).all()
+    return ok
 
 
 def make_schedule(paras) -> optax.Schedule:
