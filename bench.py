@@ -34,18 +34,49 @@ slices/s. vs_baseline = measured / 12_500 (>1.0 beats the target).
 
 import json
 import os
+import threading
 import time
 
 import numpy as np
 
 TARGET_SLICES_PER_SEC = 12_500.0  # 4x estimated A100 throughput (see docstring)
+# Hard wall-clock cap: the axon tunnel has been observed to die with the
+# host blocked forever inside device init / a fetch (PERF.md "Reliability
+# on the dev tunnel"). The driver needs ONE json line either way, so a
+# watchdog emits an explicit error record and hard-exits rather than
+# hanging. Generous default: first compile + first execution through the
+# tunnel legitimately costs several minutes.
+DEADLINE_S = float(os.environ.get("RDST_TPU_BENCH_DEADLINE_S", 1800))
 SLICES_PER_VOLUME = 128  # OASIS brain volumes have ~100-170 usable slices
 LR_SHAPE = (40, 32, 1)
 N_DISTINCT_VOLUMES = 2
 N_ITERS = 16  # whole-volume evaluations per sweep (2,048 slices)
 
 
+def _arm_watchdog():
+    done = threading.Event()
+
+    def expire():
+        if done.wait(DEADLINE_S):
+            return
+        print(json.dumps({
+            "metric": "OASIS x4 RDST-E1 inference throughput"
+                      " (SR + on-device PSNR)",
+            "value": 0.0,
+            "unit": "slices/sec/chip",
+            "vs_baseline": 0.0,
+            "error": f"no result within {DEADLINE_S:.0f}s — device "
+                     "unreachable or wedged (tunnel relay down?); see "
+                     "PERF.md 'Reliability on the dev tunnel'",
+        }), flush=True)
+        os._exit(2)
+
+    threading.Thread(target=expire, daemon=True).start()
+    return done
+
+
 def main():
+    done = _arm_watchdog()
     import jax
     import jax.numpy as jnp
 
@@ -103,11 +134,13 @@ def main():
     assert np.isfinite(psnr_v).all()
 
     slices_per_sec = N_ITERS * SLICES_PER_VOLUME / elapsed
+    done.set()
     print(json.dumps({
         "metric": "OASIS x4 RDST-E1 inference throughput (SR + on-device PSNR)",
         "value": round(slices_per_sec, 1),
         "unit": "slices/sec/chip",
         "vs_baseline": round(slices_per_sec / TARGET_SLICES_PER_SEC, 3),
+        "platform": jax.default_backend(),
     }))
 
 
