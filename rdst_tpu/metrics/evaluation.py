@@ -12,6 +12,7 @@ works unchanged.
 
 from __future__ import annotations
 
+import warnings
 from os.path import join
 from typing import Dict, List, Sequence
 
@@ -67,7 +68,12 @@ class SRMetrics:
         for m, func in self.functions.items():
             reports[m] = [func(g, p) for g, p in zip(gts, preds)]
         for m, func in self.fid_functions.items():
-            reports[m] = [func(gts, preds)]
+            try:
+                reports[m] = [func(gts, preds)]
+            except Exception as e:  # a broken aggregate metric must not
+                # void the whole (possibly hours-long) run's report
+                warnings.warn(f"metric {m!r} failed ({e}); recording nan")
+                reports[m] = [float("nan")]
         if self.return_mode == "mean":
             for m in reports:
                 reports[m] = float(np.mean(reports[m]))

@@ -37,10 +37,20 @@ def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
     mu1, mu2 = np.atleast_1d(mu1), np.atleast_1d(mu2)
     sigma1, sigma2 = np.atleast_2d(sigma1), np.atleast_2d(sigma2)
     diff = mu1 - mu2
-    covmean, _ = linalg.sqrtm(sigma1.dot(sigma2), disp=False)
-    if not np.isfinite(covmean).all():
-        offset = np.eye(sigma1.shape[0]) * eps
-        covmean = linalg.sqrtm((sigma1 + offset).dot(sigma2 + offset))
+    if not (np.isfinite(sigma1).all() and np.isfinite(sigma2).all()
+            and np.isfinite(diff).all()):
+        # nan-poisoned predictions must not kill the whole evaluation
+        # (observed: a diverged run's final eva died inside sqrtm)
+        warnings.warn("frechet_distance: non-finite moments; returning nan")
+        return float("nan")
+    try:
+        covmean, _ = linalg.sqrtm(sigma1.dot(sigma2), disp=False)
+        if not np.isfinite(covmean).all():
+            offset = np.eye(sigma1.shape[0]) * eps
+            covmean = linalg.sqrtm((sigma1 + offset).dot(sigma2 + offset))
+    except linalg.LinAlgError as e:
+        warnings.warn(f"frechet_distance: sqrtm failed ({e}); returning nan")
+        return float("nan")
     if np.iscomplexobj(covmean):
         if not np.allclose(np.diagonal(covmean).imag, 0, atol=1e-3):
             m = np.max(np.abs(covmean.imag))

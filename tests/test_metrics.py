@@ -99,6 +99,26 @@ class TestSRMetricsRegistry:
         r = SRMetrics("fid", return_mode="mean")(gts, gts)
         assert r["fid"] == pytest.approx(0.0, abs=1e-4)
 
+    def test_fid_nan_predictions_degrade_to_nan(self, rng):
+        # a diverged run's nan predictions once killed the whole final
+        # evaluation inside scipy's sqrtm; the metric must degrade, not raise
+        gts = [rng.random((32, 32, 1)) for _ in range(4)]
+        preds = [np.full((32, 32, 1), np.nan) for _ in range(4)]
+        with pytest.warns(UserWarning):
+            r = SRMetrics("psnr fid", return_mode="mean")(gts, preds)
+        assert np.isnan(r["fid"])
+
+    def test_metric_crash_isolated_to_nan(self, rng):
+        gts = [rng.random((32, 32, 1)) for _ in range(4)]
+        sm = SRMetrics("psnr fid", return_mode="mean")
+        for f in sm.fid_functions:
+            sm.fid_functions[f] = lambda *a: (_ for _ in ()).throw(
+                RuntimeError("boom"))
+        preds = [np.clip(g + rng.normal(0, 0.05, g.shape), 0, 1) for g in gts]
+        with pytest.warns(UserWarning, match="boom"):
+            r = sm(gts, preds)
+        assert np.isnan(r["fid"]) and np.isfinite(r["psnr"])
+
 
 class TestMetaSREvaluation:
     def test_report_keys_and_print(self, rng):
