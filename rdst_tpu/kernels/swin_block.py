@@ -187,7 +187,8 @@ def _body(xf, cdt, nH, scale, T, N, C, fast, bw,
           wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
           g1_ref, b1_ref, g2_ref, b2_ref,
           w1_ref, bf1_ref, w2_ref, bf2_ref,
-          bias_ref, hmask_ref, segones_ref, nseg=1, quant=None):
+          bias_ref, hmask_ref, segones_ref, nseg=1, quant=None,
+          exact_recip=False, dpf=None):
     """One Swin block body on an in-VMEM (T·N, C) f32 value; returns the
     f32 output. Shared by the single-block and DSTL-pair kernels.
 
@@ -203,7 +204,14 @@ def _body(xf, cdt, nH, scale, T, N, C, fast, bw,
     (wpq, wps). fc1/qkv inputs are post-normalize (unit variance:
     static ±4σ scale); fc2/proj inputs use a dynamic per-tensor scale.
     v5e MXU int8 throughput is 2x bf16 — this trades output agreement
-    for MXU cycles; quality is measured in PERF.md, default off."""
+    for MXU cycles; quality is measured in PERF.md, default off.
+
+    exact_recip: use exact division for the softmax normalizer instead
+    of the approximate reciprocal — the training path (pair_train.py)
+    needs a jax-differentiable body, and pl.reciprocal has no VJP rule.
+    dpf: optional (attn, mlp) stochastic-depth factor columns, each
+    (T·N, 1) f32 in {0, 1/keep} (DropPath semantics, nn/layers.py:60),
+    applied to the residual branches. Training path only."""
     quant = quant or {}
     if fast:
         # LN affine and the qk scale are pre-folded into wqkv/bqkv
@@ -264,7 +272,8 @@ def _body(xf, cdt, nH, scale, T, N, C, fast, bw,
         o = jax.lax.dot_general(
             e, vst, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)  # (T, N, C)
-        acc = o * pl.reciprocal(dfull, approx=True)
+        acc = (o / dfull if exact_recip
+               else o * pl.reciprocal(dfull, approx=True))
     else:
         # precise per-head path: stable softmax, exact division
         acc = jnp.zeros((T, N, C), jnp.float32)
@@ -296,6 +305,8 @@ def _body(xf, cdt, nH, scale, T, N, C, fast, bw,
                     preferred_element_type=jnp.float32)
         y = y + bproj_ref[...].astype(jnp.float32)
 
+    if dpf is not None:
+        y = y * dpf[0]
     x1 = xf + y  # residual 1 (f32)
 
     mq = quant.get("mlp")
@@ -317,7 +328,7 @@ def _body(xf, cdt, nH, scale, T, N, C, fast, bw,
         h2 = jnp.dot(h1q, w2q_ref[...], preferred_element_type=jnp.int32)
         h2 = h2.astype(jnp.float32) * (w2s_ref[...] * hdq)
         h2 = h2 + bf2_ref[...].astype(jnp.float32)
-        return x1 + h2
+        return x1 + (h2 * dpf[1] if dpf is not None else h2)
     h1 = jnp.dot(x1n, w1_ref[...], preferred_element_type=jnp.float32)
     h1 = h1 + bf1_ref[...].astype(jnp.float32)
     if fast:
@@ -328,7 +339,7 @@ def _body(xf, cdt, nH, scale, T, N, C, fast, bw,
     h2 = jnp.dot(h1, w2_ref[...], preferred_element_type=jnp.float32)
     h2 = h2 + bf2_ref[...].astype(jnp.float32)
 
-    return x1 + h2
+    return x1 + (h2 * dpf[1] if dpf is not None else h2)
 
 
 def _block_kernel(nH, scale, T, N, C, fast, bw, nseg, quant,

@@ -37,3 +37,14 @@ def pallas_mode():
 def pallas_interpret() -> bool:
     """Force interpret-mode kernels (CPU tests of the gated path)."""
     return os.environ.get("RDST_TPU_PALLAS_INTERPRET", "0") == "1"
+
+
+def pallas_train_mode() -> str:
+    """Kernel mode for the TRAINING step (forward + backward both run
+    fused — kernels/pair_train.py). '' (default: XLA autodiff) |
+    'pair' (differentiable DSTL-pair kernel; requires the bf16 fast
+    path, i.e. training_dtype='bfloat16'). Off by default until
+    hardware-measured; set via RDST_TPU_PALLAS_TRAIN or the
+    `pallas_train` config key (runners/trainer.py exports it)."""
+    mode = os.environ.get("RDST_TPU_PALLAS_TRAIN", "")
+    return "" if mode in ("0", "false", "off") else mode

@@ -433,6 +433,37 @@ class BasicLayer(nn.Module):
                                      interpret=wa.pallas_interpret())
             return x
 
+        # differentiable pair kernel in the TRAINING step (opt-in via
+        # RDST_TPU_PALLAS_TRAIN=pair / config pallas_train; needs the
+        # bf16 fast path, i.e. training_dtype='bfloat16'): forward AND
+        # backward run fused in VMEM (kernels/pair_train.py); DropPath
+        # rides in-kernel factor columns, so the flagship recipe's
+        # drop_path 0.1 is supported; plain Dropout is not (rates 0 in
+        # every shipped config)
+        from rdst_tpu.kernels.pair_train import fused_pair_train_fits
+
+        use_pair_train = (
+            not deterministic
+            and wa.pallas_train_mode() == "pair"
+            and self.layer_norm
+            and self.depth % 2 == 0 and not self.use_checkpoint
+            and self.qk_scale is None and use_fast_path(self.dtype)
+            and self.drop == 0.0 and self.attn_drop == 0.0
+            and c % self.num_heads == 0
+            and h % ws == 0 and w % ws == 0
+            and fused_pair_train_fits(
+                (h // ws) * (w // ws), ws * ws, c, self.num_heads,
+                int(self.dim * self.mlp_ratio),
+                jnp.dtype(self.dtype).itemsize)
+            and (jax.default_backend() == "tpu" or wa.pallas_interpret())
+        )
+        if use_pair_train:
+            for i in range(0, self.depth, 2):
+                x = self._fused_pair(x, x_size, i, ws, shift,
+                                     interpret=wa.pallas_interpret(),
+                                     train=True)
+            return x
+
         for i in range(self.depth):
             dp = self.drop_path[i] if self.drop_path else 0.0
             block = self._block(i, dp)
@@ -447,8 +478,28 @@ class BasicLayer(nn.Module):
                 x = block(x, x_size, deterministic)
         return x
 
+    def _dp_factor_cols(self, b: int, rows_per_image: int, i: int):
+        """(B·nW·N, 4) stochastic-depth factor columns [attn_a, mlp_a,
+        attn_b, mlp_b] for blocks i/i+1 — the in-kernel equivalent of
+        four independent DropPath draws (nn/layers.py:60: per-sample
+        bernoulli(keep), kept branches scaled 1/keep). None when both
+        blocks' rates are 0."""
+        dpa = self.drop_path[i] if self.drop_path else 0.0
+        dpb = self.drop_path[i + 1] if self.drop_path else 0.0
+        if dpa == 0.0 and dpb == 0.0:
+            return None
+        cols = []
+        for r in (dpa, dpa, dpb, dpb):
+            if r == 0.0:
+                cols.append(jnp.ones((b,), jnp.float32))
+            else:
+                keep = 1.0 - r
+                m = jax.random.bernoulli(self.make_rng("droppath"), keep, (b,))
+                cols.append(jnp.where(m, 1.0 / keep, 0.0))
+        return jnp.repeat(jnp.stack(cols, -1), rows_per_image, axis=0)
+
     def _fused_pair(self, x, x_size, i: int, ws: int, shift: int, *,
-                    interpret: bool = False):
+                    interpret: bool = False, train: bool = False):
         """One DSTL pair (blocks i, i+1) through the fused pair kernel:
         the inter-block reverse/roll/partition happens in VMEM
         (kernels/swin_block.fused_swin_pair). Entry partition and exit
@@ -468,14 +519,26 @@ class BasicLayer(nn.Module):
         import os
 
         ipp = int(os.environ.get("RDST_TPU_PALLAS_IPP", "2"))
-        from rdst_tpu.kernels.swin_block import quant_flags
+        if train:
+            from rdst_tpu.kernels.pair_train import fused_swin_pair_train
 
-        y = fused_swin_pair(
-            x_windows.astype(self.dtype), params_a, bias_a, params_b, bias_b,
-            num_heads=self.num_heads, x_size=(h, w), window_size=ws,
-            shift=shift, images_per_program=ipp, interpret=interpret,
-            # resolved HERE so the jit cache keys on the active flags
-            quant=quant_flags())
+            nw = (h // ws) * (w // ws)
+            y = fused_swin_pair_train(
+                x_windows.astype(self.dtype), params_a, bias_a,
+                params_b, bias_b,
+                self._dp_factor_cols(b, nw * ws * ws, i),
+                num_heads=self.num_heads, x_size=(h, w), window_size=ws,
+                shift=shift, images_per_program=ipp, interpret=interpret)
+        else:
+            from rdst_tpu.kernels.swin_block import quant_flags
+
+            y = fused_swin_pair(
+                x_windows.astype(self.dtype), params_a, bias_a,
+                params_b, bias_b,
+                num_heads=self.num_heads, x_size=(h, w), window_size=ws,
+                shift=shift, images_per_program=ipp, interpret=interpret,
+                # resolved HERE so the jit cache keys on the active flags
+                quant=quant_flags())
 
         # y is in SHIFTED window layout: one fused XLA exit copy undoes it
         y = window_reverse(y.reshape(-1, ws, ws, c), ws, h, w)

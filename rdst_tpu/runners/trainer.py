@@ -86,6 +86,14 @@ class SRTrainer:
         tdt = str(paras.get("training_dtype", "") or "").lower()
         self.training_dtype = (jnp.bfloat16 if tdt in ("bfloat16", "bf16")
                                else jnp.float32)
+        # pallas_train = 'pair': fused fwd+bwd DSTL-pair kernels inside
+        # the jitted train step (kernels/pair_train.py; needs bf16).
+        # Exported as the env flag the trace-time gate reads.
+        ptk = str(paras.get("pallas_train", "") or "").strip()
+        if ptk and ptk.lower() not in ("none", "0", "false", "off"):
+            import os as _os
+
+            _os.environ["RDST_TPU_PALLAS_TRAIN"] = ptk.lower()
         self.model = build_generator(paras, mean, std,
                                      dtype=self.training_dtype)
         self.tx = make_optimizer(paras)

@@ -20,6 +20,9 @@ config, written to BENCH_EXTRA.json (and echoed line by line):
    BASELINE config; the 38%-params comparison's big model)
 7. extra: RDST-W96 x4 inference (11.28M params — the capacity-matched
    RDST from the equal-capacity comparison)
+8. extra: flagship L1 train step, bf16 activations, XLA autodiff
+9. extra: same step through the differentiable fused DSTL-pair
+   kernels (pallas_train='pair', kernels/pair_train.py)
 
 All inference points share bench.py's timing discipline: HBM-resident
 volumes, ONE jitted fori_loop sweep per measurement, one device_get.
@@ -107,18 +110,25 @@ def bench_inference(config_name, gen, extra=None,
     }
 
 
-def bench_training(config_name, config_file, seg_loss=False, steps=64):
+def bench_training(config_name, config_file, seg_loss=False, steps=64,
+                   extra=None):
     """Train-step throughput: chip-paced (in-graph scan) and
     dispatch-paced (host loop), plus the compiled step cost model."""
     import jax
     import jax.numpy as jnp
 
     from rdst_tpu.config import ParametersLoader
-    from rdst_tpu.data.readers import make_train_valid_datasets
     from rdst_tpu.runners.trainer import SRTrainer
+    from rdst_tpu.data.readers import make_train_valid_datasets
+
+    # the trainer exports `pallas_train` to the env for the trace-time
+    # gate; clear it here so earlier records can't leak into this one
+    os.environ.pop("RDST_TPU_PALLAS_TRAIN", None)
 
     paras = ParametersLoader(config_file)
     paras.set("check_every", 10**9)  # no eval inside the bench
+    for k, v in (extra or {}).items():
+        paras.set(k, v)
     ds_train, ds_valid = make_train_valid_datasets(paras, seg_loss=seg_loss)
     trainer = SRTrainer(paras, ds_train, ds_valid, seed=0)
     trainer.setup()
@@ -195,6 +205,8 @@ def bench_training(config_name, config_file, seg_loss=False, steps=64):
         "config": config_name,
         "metric": "train-step throughput",
         "batch_size": int(batch["in"].shape[0]),
+        "training_dtype": jnp.dtype(trainer.training_dtype).name,
+        "pallas_train": os.environ.get("RDST_TPU_PALLAS_TRAIN", ""),
         "value": round(chip_sps, 2),
         "unit": "steps/sec (chip-paced, in-graph scan)",
         "dispatch_paced_steps_per_sec": round(host_sps, 2),
@@ -211,7 +223,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="BENCH_EXTRA.json")
     ap.add_argument("--skip", nargs="*", type=int, default=[],
-                    help="record numbers to skip (1-5 BASELINE, 6-7 extra); "
+                    help="record numbers to skip (1-5 BASELINE, 6-9 extra); "
                          "skipped records keep their previous value when "
                          "the out file already exists")
     args = ap.parse_args()
@@ -254,6 +266,15 @@ def main():
     # 11.90M) from the equal-capacity comparison (README table)
     run(7, bench_inference, "extra-7-rdst-w96", "rdst",
         config_file="config_files/rdst_w96_40k_oasis20_x4.ini")
+    # extras 8/9: the flagship L1 train step in bf16, XLA autodiff vs
+    # the differentiable fused DSTL-pair kernels (kernels/pair_train.py)
+    # — same chip-paced methodology as record 4 (its f32-XLA baseline)
+    run(8, bench_training, "extra-8-rdst-e1-train-bf16-xla",
+        "config_files/rdst_e1_40k_oasis20_x4.ini",
+        extra={"training_dtype": "bfloat16"})
+    run(9, bench_training, "extra-9-rdst-e1-train-bf16-pairkernel",
+        "config_files/rdst_e1_40k_oasis20_x4.ini",
+        extra={"training_dtype": "bfloat16", "pallas_train": "pair"})
 
     # --skip'd configs keep their previous record when the out file exists
     kept = [old[n] for n in sorted(old) if n in args.skip]
