@@ -54,6 +54,7 @@ from rdst_tpu.kernels.swin_block import (
     const_spec,
     pack_bias_fast,
     prep_block_params,
+    shard_grid_over_data,
     use_fast_path,
 )
 
@@ -289,6 +290,27 @@ def fused_swin_pair_train(x_windows, params_a, bias_a, params_b, bias_b,
                           window_size: int, shift: int,
                           images_per_program: int = 2,
                           interpret: bool = False):
+    """Data-parallel shim over `_fused_swin_pair_train_impl` (same
+    contract): splits B·nW over the active mesh's data axis at image
+    boundaries. shard_map is differentiable — its transpose psums the
+    replicated parameters' cotangents over the data axis, which IS the
+    DP gradient all-reduce, so the custom-VJP backward composes with
+    multi-chip training for free."""
+    nw = (x_size[0] // window_size) * (x_size[1] // window_size)
+    call = functools.partial(
+        _fused_swin_pair_train_impl, num_heads=num_heads,
+        x_size=tuple(x_size), window_size=window_size, shift=shift,
+        images_per_program=images_per_program, interpret=interpret)
+    return shard_grid_over_data(
+        lambda x, a: call(x, *a), x_windows,
+        (params_a, bias_a, params_b, bias_b, dp_factors), nw)
+
+
+def _fused_swin_pair_train_impl(x_windows, params_a, bias_a, params_b,
+                                bias_b, dp_factors=None, *, num_heads: int,
+                                x_size, window_size: int, shift: int,
+                                images_per_program: int = 2,
+                                interpret: bool = False):
     """Differentiable twin of `fused_swin_pair` (same operand contract:
     unshifted window layout in, SHIFTED window layout out; bf16 fast
     path only; no int8 — training keeps full-precision matmuls).

@@ -54,6 +54,7 @@ from rdst_tpu.kernels.swin_block import (
     prep_block_params,
     quant_flags,
     quantize_weight,
+    shard_grid_over_data,
     unpack_mm_quant,
     use_fast_path,
 )
@@ -315,16 +316,36 @@ def fused_rdstb_probe(x_size, ws: int, shift: int, c0: int, growth: int,
     return _PROBE_CACHE[key]
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("num_heads", "x_size", "window_size", "shift",
-                     "growth", "adapter_prenorm", "images_per_program",
-                     "interpret", "quant"))
 def fused_rdstb(x_tokens, dstls, conv_kernel, conv_bias, *,
                 num_heads: int, x_size, window_size: int, shift: int,
                 growth: int, adapter_prenorm: bool = False,
                 images_per_program: int = 1, interpret: bool = False,
                 quant: frozenset = None):
+    """Data-parallel shim over `_fused_rdstb_impl` (same contract):
+    splits the image batch over the active mesh's data axis so each
+    device runs only its own grid steps (see
+    swin_block.shard_grid_over_data)."""
+    call = functools.partial(
+        _fused_rdstb_impl, num_heads=num_heads, x_size=tuple(x_size),
+        window_size=window_size, shift=shift, growth=growth,
+        adapter_prenorm=adapter_prenorm,
+        images_per_program=images_per_program, interpret=interpret,
+        quant=quant)
+    return shard_grid_over_data(
+        lambda x, a: call(x, *a), x_tokens,
+        (dstls, conv_kernel, conv_bias), 1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "x_size", "window_size", "shift",
+                     "growth", "adapter_prenorm", "images_per_program",
+                     "interpret", "quant"))
+def _fused_rdstb_impl(x_tokens, dstls, conv_kernel, conv_bias, *,
+                      num_heads: int, x_size, window_size: int, shift: int,
+                      growth: int, adapter_prenorm: bool = False,
+                      images_per_program: int = 1, interpret: bool = False,
+                      quant: frozenset = None):
     """One whole RDSTB per Pallas program.
 
     x_tokens: (B, H·W, C0) image-major tokens (the RDSTB boundary
@@ -463,3 +484,7 @@ def fused_rdstb(x_tokens, dstls, conv_kernel, conv_bias, *,
         interpret=interpret,
     )(xg, *operands)
     return out.reshape(b, l, c0)
+
+
+# see swin_block.py: trace-cache clearing via the public shim name
+fused_rdstb.clear_cache = _fused_rdstb_impl.clear_cache

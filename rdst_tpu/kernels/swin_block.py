@@ -580,15 +580,70 @@ def fused_pair_fits(nw: int, n: int, c: int, nh: int, hidden: int,
     return _pair_vmem_estimate(nw, n, c, nh, hidden, nw, es) <= _VMEM_BUDGET
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("num_heads", "windows_per_image", "images_per_program",
-                     "pack", "interpret", "quant"))
+def shard_grid_over_data(fn, x, args, per_device_multiple: int):
+    """Run ``fn(x, args)`` with x's leading dim split over the active
+    data-mesh axis (jax.shard_map, that axis manual, any model/seq axes
+    left to GSPMD). GSPMD cannot partition a pallas_call — an opaque
+    custom call — so without this a batch-sharded input is all-gathered
+    and EVERY device redundantly runs the whole grid (measured on the
+    8-dev CPU mesh: the kernel output came back fully replicated).
+
+    ``per_device_multiple``: x.shape[0] units that must stay together
+    per device (windows_per_image for window-layout kernels — a device
+    boundary through an image's windows would corrupt the shift
+    relayout). Falls back to the unsharded call when no production mesh
+    is registered (parallel.mesh.set_active_mesh) or the leading dim
+    does not split cleanly.
+
+    The registry is read at TRACE time: register the mesh before the
+    first trace of any caller (the runners create their mesh in
+    __init__, before any jit runs). A function object traced earlier
+    keeps its cached jaxpr — same caveat as the quant env flags.
+    """
+    from rdst_tpu.parallel.mesh import active_data_mesh
+
+    mesh, axis = active_data_mesh()
+    if mesh is None or x.shape[0] % (mesh.shape[axis] * per_device_multiple):
+        return fn(x, args)
+    from jax.sharding import PartitionSpec as P
+
+    # check_vma=False: pallas out_shapes carry no varying-mesh-axes
+    # annotation, so the checker rejects them; gradient correctness of
+    # the replicated params (transpose -> psum over the data axis) is
+    # gated in tests/test_kernel_sharding.py instead
+    return jax.shard_map(fn, mesh=mesh, in_specs=(P(axis), P()),
+                         out_specs=P(axis), axis_names={axis},
+                         check_vma=False)(x, args)
+
+
 def fused_swin_block(x_windows, wqkv, bqkv, wproj, bproj,
                      g1, b1, g2, b2, w1, bf1, w2, bf2,
                      bias, *, num_heads: int, windows_per_image: int,
                      images_per_program: int = 1, pack: int = 1,
                      interpret: bool = False, quant: frozenset = None):
+    """Data-parallel shim over `_fused_swin_block_jit` (same contract):
+    splits B·nW over the active mesh's data axis so each device runs
+    only its own images' grid steps."""
+    call = functools.partial(
+        _fused_swin_block_jit, num_heads=num_heads,
+        windows_per_image=windows_per_image,
+        images_per_program=images_per_program, pack=pack,
+        interpret=interpret, quant=quant)
+    return shard_grid_over_data(
+        lambda x, a: call(x, *a), x_windows,
+        (wqkv, bqkv, wproj, bproj, g1, b1, g2, b2, w1, bf1, w2, bf2, bias),
+        windows_per_image)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "windows_per_image", "images_per_program",
+                     "pack", "interpret", "quant"))
+def _fused_swin_block_jit(x_windows, wqkv, bqkv, wproj, bproj,
+                          g1, b1, g2, b2, w1, bf1, w2, bf2,
+                          bias, *, num_heads: int, windows_per_image: int,
+                          images_per_program: int = 1, pack: int = 1,
+                          interpret: bool = False, quant: frozenset = None):
     """Whole Swin block on window-layout tokens.
 
     x_windows: (B·nW, N, C) with nW = windows_per_image;
@@ -801,14 +856,31 @@ def const_spec(vm, *shape):
     return pl.BlockSpec(shape, lambda i, _nd=nd: (0,) * _nd, **vm)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("num_heads", "x_size", "window_size", "shift",
-                     "images_per_program", "interpret", "quant"))
 def fused_swin_pair(x_windows, params_a, bias_a, params_b, bias_b, *,
                     num_heads: int, x_size, window_size: int, shift: int,
                     images_per_program: int = 2, interpret: bool = False,
                     quant: frozenset = None):
+    """Data-parallel shim over `_fused_swin_pair_jit` (same contract):
+    splits B·nW over the active mesh's data axis at image boundaries."""
+    nw = (x_size[0] // window_size) * (x_size[1] // window_size)
+    call = functools.partial(
+        _fused_swin_pair_jit, num_heads=num_heads, x_size=tuple(x_size),
+        window_size=window_size, shift=shift,
+        images_per_program=images_per_program, interpret=interpret,
+        quant=quant)
+    return shard_grid_over_data(
+        lambda x, a: call(x, *a), x_windows,
+        (params_a, bias_a, params_b, bias_b), nw)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "x_size", "window_size", "shift",
+                     "images_per_program", "interpret", "quant"))
+def _fused_swin_pair_jit(x_windows, params_a, bias_a, params_b, bias_b, *,
+                         num_heads: int, x_size, window_size: int, shift: int,
+                         images_per_program: int = 2, interpret: bool = False,
+                         quant: frozenset = None):
     """One DSTL's Swin-block pair (shift 0, then `shift`) in a single
     Pallas program: the inter-block window_reverse -> roll -> partition
     happens in VMEM (_shift_relayout), so the intermediate feature map
@@ -909,3 +981,10 @@ def _seg_ones(nh: int, n: int, dtype) -> jax.Array:
     jj = jax.lax.broadcasted_iota(jnp.int32, (nh * n, nh), 0)
     kk = jax.lax.broadcasted_iota(jnp.int32, (nh * n, nh), 1)
     return (jj // n == kk).astype(dtype)
+
+
+# tests/tools flip trace-time env flags (precise path, quant, VMEM
+# budget monkeypatches) and drop stale traces via the public names;
+# the jit moved onto the impls when the data-parallel shims landed
+fused_swin_block.clear_cache = _fused_swin_block_jit.clear_cache
+fused_swin_pair.clear_cache = _fused_swin_pair_jit.clear_cache

@@ -1,9 +1,11 @@
 """Device mesh + sharding layer (the framework's NCCL-equivalent)."""
 
 from rdst_tpu.parallel.mesh import (  # noqa: F401
+    active_data_mesh,
     batch_sharding,
     make_mesh,
     make_mesh_from_paras,
+    set_active_mesh,
     replicate_tree,
     replicated,
     shard_batch,

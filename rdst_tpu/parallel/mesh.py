@@ -69,7 +69,9 @@ def make_mesh_from_paras(paras) -> Mesh:
     shape = paras.get("mesh_shape") if hasattr(paras, "get") else None
     axes = paras.get("mesh_axes") if hasattr(paras, "get") else None
     if shape is None:
-        return make_mesh(tuple(axes) if axes else ("data",))
+        mesh = make_mesh(tuple(axes) if axes else ("data",))
+        set_active_mesh(mesh)
+        return mesh
     shape = [int(s) for s in shape]
     if axes is None:
         if len(shape) > len(_DEFAULT_AXES):
@@ -94,7 +96,39 @@ def make_mesh_from_paras(paras) -> Mesh:
         raise ValueError(
             f"mesh_shape {shape} needs {need} devices, only "
             f"{len(devices)} visible")
-    return make_mesh(axes, shape, devices[:need])
+    mesh = make_mesh(axes, shape, devices[:need])
+    set_active_mesh(mesh)
+    return mesh
+
+
+_ACTIVE_MESH: Optional[Mesh] = None
+
+
+def set_active_mesh(mesh: Optional[Mesh]) -> Optional[Mesh]:
+    """Register the process's production mesh for trace-time consumers.
+
+    GSPMD cannot partition a ``pallas_call`` (an opaque custom call):
+    with batch-sharded inputs it all-gathers the batch and every device
+    redundantly computes ALL of it — silent loss of data parallelism.
+    The kernel wrappers (kernels/swin_block.py etc.) therefore query
+    this registry and run their grids under ``jax.shard_map`` over the
+    data axis, keeping each device's shard local. Returns the previous
+    value so tests can restore it.
+    """
+    global _ACTIVE_MESH
+    prev = _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+    return prev
+
+
+def active_data_mesh(axis: str = "data"):
+    """``(mesh, axis)`` when a mesh with a >1-sized data axis is
+    registered, else ``(None, None)``. Single-device (or axis-less)
+    meshes return None: shard_map would only add tracing overhead."""
+    m = _ACTIVE_MESH
+    if m is not None and axis in m.shape and m.shape[axis] > 1:
+        return m, axis
+    return None, None
 
 
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:

@@ -46,6 +46,17 @@ def rng():
     return np.random.default_rng(0)
 
 
+@pytest.fixture(autouse=True)
+def _reset_active_mesh():
+    """Tests that build a production mesh (make_mesh_from_paras) must
+    not leak it into later tests: the kernel wrappers shard_map over
+    the registered mesh at trace time."""
+    yield
+    from rdst_tpu.parallel.mesh import set_active_mesh
+
+    set_active_mesh(None)
+
+
 @pytest.fixture(scope="session")
 def reference_available():
     """The upstream PyTorch reference, if mounted (for parity tests only)."""
