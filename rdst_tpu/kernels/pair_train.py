@@ -52,8 +52,10 @@ from rdst_tpu.kernels.swin_block import (
     _pair_vmem_estimate,
     _shift_relayout,
     const_spec,
+    head_mask_arr,
     pack_bias_fast,
     prep_block_params,
+    seg_ones_arr,
     shard_grid_over_data,
     use_fast_path,
 )
@@ -109,8 +111,8 @@ def _fwd_kernel(nh, t, n, c, nw, geom, has_dpf, x_ref, *refs):
     fa, ba, fb, bb, dpf_ref, rest = _split_refs(refs, has_dpf)
     o_ref = rest[0]
     cdt = x_ref.dtype
-    hmask = _hmask_arr(nh, c, cdt)
-    segones = _segones_arr(nh, n, cdt)
+    hmask = head_mask_arr(nh, c, cdt)
+    segones = seg_ones_arr(nh, n, cdt)
     z = _pair_ops(x_ref[0].astype(jnp.float32), cdt, nh, t, n, c, nw,
                   geom, fa, ba, fb, bb, hmask, segones,
                   dpf_ref[0] if has_dpf else None)
@@ -120,8 +122,8 @@ def _fwd_kernel(nh, t, n, c, nw, geom, has_dpf, x_ref, *refs):
 def _bwd_kernel(nh, t, n, c, nw, geom, has_dpf, x_ref, dz_ref, *refs):
     fa_r, ba_r, fb_r, bb_r, dpf_ref, outs = _split_refs(refs, has_dpf)
     cdt = x_ref.dtype
-    hmask = _hmask_arr(nh, c, cdt)
-    segones = _segones_arr(nh, n, cdt)
+    hmask = head_mask_arr(nh, c, cdt)
+    segones = seg_ones_arr(nh, n, cdt)
     # refs -> values: the vjp'd function must be pure in its args
     fa = tuple(r[...] for r in fa_r)
     fb = tuple(r[...] for r in fb_r)
@@ -149,20 +151,6 @@ def _bwd_kernel(nh, t, n, c, nw, geom, has_dpf, x_ref, dz_ref, *refs):
         @pl.when(jnp.logical_not(first))
         def _(o_ref=o_ref, gf=gf):
             o_ref[...] += gf
-
-
-def _hmask_arr(nh, c, dtype):
-    """(nH, C) per-head channel masks, built in-kernel (iota lowers)."""
-    hd = c // nh
-    ch = jax.lax.broadcasted_iota(jnp.int32, (nh, c), 1)
-    hh = jax.lax.broadcasted_iota(jnp.int32, (nh, c), 0)
-    return (ch // hd == hh).astype(dtype)
-
-
-def _segones_arr(nh, n, dtype):
-    jj = jax.lax.broadcasted_iota(jnp.int32, (nh * n, nh), 0)
-    kk = jax.lax.broadcasted_iota(jnp.int32, (nh * n, nh), 1)
-    return (jj // n == kk).astype(dtype)
 
 
 @functools.lru_cache(maxsize=None)
@@ -301,9 +289,18 @@ def fused_swin_pair_train(x_windows, params_a, bias_a, params_b, bias_b,
         _fused_swin_pair_train_impl, num_heads=num_heads,
         x_size=tuple(x_size), window_size=window_size, shift=shift,
         images_per_program=images_per_program, interpret=interpret)
+
+    def body(xs, a):
+        x, dpf = xs
+        return call(x, a[0], a[1], a[2], a[3], dpf)
+
+    # dp_factors rows are (B·nW·N, 4) batch-major, proportional to
+    # x_windows' leading dim — they ride in the SHARDED operand pytree
+    # (a replicated spec would hand each device the GLOBAL rows and the
+    # impl's local reshape would fail)
     return shard_grid_over_data(
-        lambda x, a: call(x, *a), x_windows,
-        (params_a, bias_a, params_b, bias_b, dp_factors), nw)
+        body, (x_windows, dp_factors),
+        (params_a, bias_a, params_b, bias_b), nw)
 
 
 def _fused_swin_pair_train_impl(x_windows, params_a, bias_a, params_b,

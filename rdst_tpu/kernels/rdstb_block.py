@@ -300,7 +300,10 @@ def fused_rdstb_probe(x_size, ws: int, shift: int, c0: int, growth: int,
     x, dstls, ck, cb = probe_args(x_size, ws, shift, c0, growth, nb, nh,
                                   hidden_ratio, prenorm, ipp)
     try:
-        fused_rdstb.lower(
+        # probe the jitted IMPL: the public fused_rdstb is a plain-
+        # function DP shim (no .lower), and the probe must exercise the
+        # single-device Mosaic compile regardless of any active mesh
+        _fused_rdstb_impl.lower(
             x, dstls, ck, cb, num_heads=nh, x_size=tuple(x_size),
             window_size=ws, shift=shift, growth=growth,
             adapter_prenorm=prenorm, images_per_program=ipp,

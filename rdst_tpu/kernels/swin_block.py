@@ -588,6 +588,13 @@ def shard_grid_over_data(fn, x, args, per_device_multiple: int):
     and EVERY device redundantly runs the whole grid (measured on the
     8-dev CPU mesh: the kernel output came back fully replicated).
 
+    ``x`` may be a single array or a pytree of arrays that are ALL
+    split on their leading dim (e.g. tokens + per-row DropPath factor
+    columns); the divisibility gate checks the FIRST leaf against
+    ``per_device_multiple``, so list batch-major operands whose leading
+    dims are proportional. ``args`` is broadcast (replicated over the
+    data axis).
+
     ``per_device_multiple``: x.shape[0] units that must stay together
     per device (windows_per_image for window-layout kernels — a device
     boundary through an image's windows would corrupt the shift
@@ -603,7 +610,8 @@ def shard_grid_over_data(fn, x, args, per_device_multiple: int):
     from rdst_tpu.parallel.mesh import active_data_mesh
 
     mesh, axis = active_data_mesh()
-    if mesh is None or x.shape[0] % (mesh.shape[axis] * per_device_multiple):
+    lead = jax.tree_util.tree_leaves(x)[0].shape[0]
+    if mesh is None or lead % (mesh.shape[axis] * per_device_multiple):
         return fn(x, args)
     from jax.sharding import PartitionSpec as P
 
@@ -969,15 +977,27 @@ def _fused_swin_pair_jit(x_windows, params_a, bias_a, params_b, bias_b, *,
 @functools.partial(jax.jit, static_argnames=("nh", "c", "dtype"))
 def _head_mask(nh: int, c: int, dtype) -> jax.Array:
     """(nH, C) one-hot channel masks: m[h, ch] = 1 iff ch // hd == h."""
+    return head_mask_arr(nh, c, dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("nh", "n", "dtype"))
+def _seg_ones(nh: int, n: int, dtype) -> jax.Array:
+    """(nH·N, nH) segment-sum matrix: S[h·N+j, h'] = 1 iff h == h'."""
+    return seg_ones_arr(nh, n, dtype)
+
+
+def head_mask_arr(nh: int, c: int, dtype) -> jax.Array:
+    """Raw (unjitted) _head_mask builder: iota lowers inside Pallas
+    kernel bodies too, so the train kernel (pair_train.py) builds the
+    masks in-kernel from the same code."""
     hd = c // nh
     ch = jax.lax.broadcasted_iota(jnp.int32, (nh, c), 1)
     hh = jax.lax.broadcasted_iota(jnp.int32, (nh, c), 0)
     return (ch // hd == hh).astype(dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("nh", "n", "dtype"))
-def _seg_ones(nh: int, n: int, dtype) -> jax.Array:
-    """(nH·N, nH) segment-sum matrix: S[h·N+j, h'] = 1 iff h == h'."""
+def seg_ones_arr(nh: int, n: int, dtype) -> jax.Array:
+    """Raw (unjitted) _seg_ones builder (see head_mask_arr)."""
     jj = jax.lax.broadcasted_iota(jnp.int32, (nh * n, nh), 0)
     kk = jax.lax.broadcasted_iota(jnp.int32, (nh * n, nh), 1)
     return (jj // n == kk).astype(dtype)

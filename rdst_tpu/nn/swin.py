@@ -414,18 +414,23 @@ class BasicLayer(nn.Module):
 
         ws, shift = resolve_ws_shift(self.build_resolution or (h, w), h, w,
                                      self.window_size, self.window_size // 2)
+        def pair_eligible(fits):
+            """Geometry/structure gate shared by the inference and
+            training pair kernels; `fits` is the mode's VMEM check."""
+            return (self.layer_norm
+                    and self.depth % 2 == 0 and not self.use_checkpoint
+                    and self.qk_scale is None and use_fast_path(self.dtype)
+                    and c % self.num_heads == 0
+                    and h % ws == 0 and w % ws == 0
+                    and fits((h // ws) * (w // ws), ws * ws, c,
+                             self.num_heads, int(self.dim * self.mlp_ratio),
+                             jnp.dtype(self.dtype).itemsize)
+                    and (jax.default_backend() == "tpu"
+                         or wa.pallas_interpret()))
+
         use_pair = (
             wa.pallas_mode() in ("pair", "rdstb") and deterministic
-            and self.layer_norm
-            and self.depth % 2 == 0 and not self.use_checkpoint
-            and self.qk_scale is None and use_fast_path(self.dtype)
-            and c % self.num_heads == 0
-            and h % ws == 0 and w % ws == 0
-            and fused_pair_fits(
-                (h // ws) * (w // ws), ws * ws, c, self.num_heads,
-                int(self.dim * self.mlp_ratio),
-                jnp.dtype(self.dtype).itemsize)
-            and (jax.default_backend() == "tpu" or wa.pallas_interpret())
+            and pair_eligible(fused_pair_fits)
         )
         if use_pair:
             for i in range(0, self.depth, 2):
@@ -445,17 +450,8 @@ class BasicLayer(nn.Module):
         use_pair_train = (
             not deterministic
             and wa.pallas_train_mode() == "pair"
-            and self.layer_norm
-            and self.depth % 2 == 0 and not self.use_checkpoint
-            and self.qk_scale is None and use_fast_path(self.dtype)
             and self.drop == 0.0 and self.attn_drop == 0.0
-            and c % self.num_heads == 0
-            and h % ws == 0 and w % ws == 0
-            and fused_pair_train_fits(
-                (h // ws) * (w // ws), ws * ws, c, self.num_heads,
-                int(self.dim * self.mlp_ratio),
-                jnp.dtype(self.dtype).itemsize)
-            and (jax.default_backend() == "tpu" or wa.pallas_interpret())
+            and pair_eligible(fused_pair_train_fits)
         )
         if use_pair_train:
             for i in range(0, self.depth, 2):

@@ -88,12 +88,16 @@ class SRTrainer:
                                else jnp.float32)
         # pallas_train = 'pair': fused fwd+bwd DSTL-pair kernels inside
         # the jitted train step (kernels/pair_train.py; needs bf16).
-        # Exported as the env flag the trace-time gate reads.
+        # Exported as the env flag the trace-time gate reads; an absent
+        # or off key CLEARS the flag so a second trainer in the same
+        # process can't inherit the previous config's kernels.
+        import os as _os
+
         ptk = str(paras.get("pallas_train", "") or "").strip()
         if ptk and ptk.lower() not in ("none", "0", "false", "off"):
-            import os as _os
-
             _os.environ["RDST_TPU_PALLAS_TRAIN"] = ptk.lower()
+        else:
+            _os.environ.pop("RDST_TPU_PALLAS_TRAIN", None)
         self.model = build_generator(paras, mean, std,
                                      dtype=self.training_dtype)
         self.tx = make_optimizer(paras)

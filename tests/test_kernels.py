@@ -344,6 +344,32 @@ class TestFusedRDSTB:
             images_per_program=1, interpret=True, quant=frozenset())
         assert out.shape == x.shape
 
+    def test_probe_lowers_the_jitted_impl(self, monkeypatch):
+        """The probe must reach .lower().compile() on the JITTED impl.
+        Regression: when the public fused_rdstb became a plain-function
+        DP shim, the probe's fused_rdstb.lower() raised AttributeError,
+        the broad except swallowed it, and the probe permanently
+        returned False — silently pinning real-TPU inference to the
+        pair fallback."""
+        from rdst_tpu.kernels import rdstb_block as rb
+
+        calls = {}
+
+        class FakeLowered:
+            def compile(self):
+                calls["compiled"] = True
+
+        class FakeJit:
+            def lower(self, *a, **k):
+                calls["lowered"] = True
+                return FakeLowered()
+
+        monkeypatch.setattr(rb, "_fused_rdstb_impl", FakeJit())
+        monkeypatch.setattr(rb, "_PROBE_CACHE", {})
+        ok = rb.fused_rdstb_probe((16, 16), 4, 2, 12, 12, 1, 2, 2.0,
+                                  False, quant=frozenset())
+        assert ok and calls.get("lowered") and calls.get("compiled")
+
     def test_conv3x3_matches_xla(self, rng):
         import jax
         import jax.numpy as jnp

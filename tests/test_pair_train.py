@@ -41,8 +41,10 @@ class TestPairTrainKernel:
         import jax.numpy as jnp
 
         from rdst_tpu.kernels import pair_train as ptr
-        from rdst_tpu.kernels.swin_block import (pack_bias_fast,
-                                                 prep_block_params)
+        from rdst_tpu.kernels.swin_block import (head_mask_arr,
+                                                 pack_bias_fast,
+                                                 prep_block_params,
+                                                 seg_ones_arr)
 
         c, nh, ws = 12, 2, 4
         h = w = 8
@@ -72,8 +74,8 @@ class TestPairTrainKernel:
             ba = pack_bias_fast(bias_a, nh, n, dt)
             bb = pack_bias_fast(bias_b, nh, n, dt)
             xg = x.reshape(bnw // t, t * n, c)
-            hm = ptr._hmask_arr(nh, c, dt)
-            so = ptr._segones_arr(nh, n, dt)
+            hm = head_mask_arr(nh, c, dt)
+            so = seg_ones_arr(nh, n, dt)
             dg = (None if dpf is None
                   else dpf.reshape(bnw // t, t * n, 4))
             outs = [ptr._pair_ops(

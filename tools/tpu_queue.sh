@@ -39,7 +39,7 @@ step bench7 timeout 3600 python tools/bench_all.py --skip 1 2 3 4 5 6 8 9
 
 # 3. bf16 train-step records: XLA autodiff vs differentiable pair
 #    kernel (PERF.md "Differentiable fused kernels" pending numbers).
-step bench89 timeout 5400 python tools/bench_all.py --skip 1 2 3 5 6 7
+step bench89 timeout 5400 python tools/bench_all.py --skip 1 2 3 4 5 6 7
 
 # 4. MetaSR 20k (scale-free training), then multi-scale test.
 step metasr_train timeout 14400 tools/supervise.sh \
