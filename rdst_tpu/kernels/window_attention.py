@@ -39,6 +39,31 @@ def pallas_interpret() -> bool:
     return os.environ.get("RDST_TPU_PALLAS_INTERPRET", "0") == "1"
 
 
+def export_kernel_flags(paras) -> None:
+    """Export a config's kernel keys to the env flags the trace-time
+    gates read. Call BEFORE the first trace (the runners do, right
+    before ``build_generator``).
+
+    ``pallas_kernels`` -> ``RDST_TPU_PALLAS``      (rdstb/pair/swin/pack/off)
+    ``pallas_quant``   -> ``RDST_TPU_PALLAS_QUANT`` (int8 groups:
+                          comma list of qkv/mlp/proj/conv, or all/off)
+
+    A key that is absent (or None) leaves the env untouched, so the env
+    stays the manual override surface (tools/kernel_sweep.py drives it
+    per point); a PRESENT key wins over any inherited env value, with
+    off/none/0/false/xla exporting the explicit off value. Framework
+    extension — the reference has no kernel layer to configure.
+    """
+    for cfg_key, env in (("pallas_kernels", "RDST_TPU_PALLAS"),
+                         ("pallas_quant", "RDST_TPU_PALLAS_QUANT")):
+        val = paras.get(cfg_key) if hasattr(paras, "get") else None
+        if val is None:
+            continue
+        val = str(val).strip().lower()
+        os.environ[env] = (
+            "0" if val in ("", "none", "off", "false", "xla", "0") else val)
+
+
 def pallas_train_mode() -> str:
     """Kernel mode for the TRAINING step (forward + backward both run
     fused — kernels/pair_train.py). '' (default: XLA autodiff) |

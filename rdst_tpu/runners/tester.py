@@ -55,6 +55,12 @@ class SRTester:
         idt = str(paras.get("inference_dtype", "float32")).lower()
         self.infer_dtype = (jnp.bfloat16 if idt in ("bfloat16", "bf16")
                             else jnp.float32)
+        # pallas_kernels / pallas_quant config keys -> trace-time env
+        # gates (e.g. swinir_std ships pallas_quant='qkv': int8 qkv is
+        # a measured +3.7% at C=180, quality-neutral — PERF.md)
+        from rdst_tpu.kernels.window_attention import export_kernel_flags
+
+        export_kernel_flags(paras)
         # normalized-input configs bake training-set mean/std into the
         # model's mean_shift (module attrs, not params) — the tester must
         # rebuild them from the SAME training volumes or every output is

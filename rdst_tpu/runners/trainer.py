@@ -98,6 +98,11 @@ class SRTrainer:
             _os.environ["RDST_TPU_PALLAS_TRAIN"] = ptk.lower()
         else:
             _os.environ.pop("RDST_TPU_PALLAS_TRAIN", None)
+        # pallas_kernels / pallas_quant keys drive the EVAL-path kernels
+        # (quick_eva / final eval run deterministic=True inference)
+        from rdst_tpu.kernels.window_attention import export_kernel_flags
+
+        export_kernel_flags(paras)
         self.model = build_generator(paras, mean, std,
                                      dtype=self.training_dtype)
         self.tx = make_optimizer(paras)

@@ -27,6 +27,66 @@ class TestPallasModeDispatch:
         assert np.array_equal(got, ref)
 
 
+class TestExportKernelFlags:
+    """Config keys pallas_kernels/pallas_quant -> trace-time env gates
+    (runners call this before build_generator). Present key wins over
+    an inherited env value; absent key leaves the env untouched so
+    tools/kernel_sweep.py keeps driving the env per point."""
+
+    def test_present_keys_win_over_env(self, monkeypatch):
+        import os
+
+        from rdst_tpu.kernels.window_attention import (export_kernel_flags,
+                                                       pallas_mode)
+        from rdst_tpu.kernels.swin_block import quant_flags
+
+        monkeypatch.setenv("RDST_TPU_PALLAS", "pack")
+        monkeypatch.setenv("RDST_TPU_PALLAS_QUANT", "all")
+        export_kernel_flags({"pallas_kernels": "swin",
+                             "pallas_quant": "qkv,mlp"})
+        assert os.environ["RDST_TPU_PALLAS"] == "swin"
+        assert pallas_mode() == "swin"
+        assert quant_flags() == frozenset(("qkv", "mlp"))
+
+    def test_absent_keys_leave_env_untouched(self, monkeypatch):
+        import os
+
+        from rdst_tpu.kernels.window_attention import export_kernel_flags
+
+        monkeypatch.setenv("RDST_TPU_PALLAS", "pair")
+        monkeypatch.delenv("RDST_TPU_PALLAS_QUANT", raising=False)
+        export_kernel_flags({})
+        assert os.environ["RDST_TPU_PALLAS"] == "pair"
+        assert "RDST_TPU_PALLAS_QUANT" not in os.environ
+
+    def test_off_values_export_explicit_off(self, monkeypatch):
+        from rdst_tpu.kernels.window_attention import (export_kernel_flags,
+                                                       pallas_mode)
+        from rdst_tpu.kernels.swin_block import quant_flags
+
+        monkeypatch.setenv("RDST_TPU_PALLAS", "rdstb")
+        monkeypatch.setenv("RDST_TPU_PALLAS_QUANT", "qkv")
+        export_kernel_flags({"pallas_kernels": "off", "pallas_quant": "none"})
+        assert pallas_mode() == ""
+        assert quant_flags() == frozenset()
+
+    def test_shipped_swinir_std_config_engages_int8_qkv(self, monkeypatch):
+        """The C=180 config ships the measured int8-qkv win (PERF.md)."""
+        from rdst_tpu.config import ParametersLoader
+        from rdst_tpu.kernels.window_attention import (export_kernel_flags,
+                                                       pallas_mode)
+        from rdst_tpu.kernels.swin_block import quant_flags
+
+        monkeypatch.delenv("RDST_TPU_PALLAS", raising=False)
+        monkeypatch.delenv("RDST_TPU_PALLAS_QUANT", raising=False)
+        paras = ParametersLoader(
+            "config_files/swinir_std_40k_oasis20_x4.ini")
+        assert str(paras.get("inference_dtype")).lower() == "bfloat16"
+        export_kernel_flags(paras)
+        assert pallas_mode() == "swin"
+        assert quant_flags() == frozenset(("qkv",))
+
+
 class TestFusedSwinBlock:
     """Whole-block kernel (kernels/swin_block.py) vs the XLA path."""
 
