@@ -53,6 +53,13 @@ def export_kernel_flags(paras) -> None:
     per point); a PRESENT key wins over any inherited env value, with
     off/none/0/false/xla exporting the explicit off value. Framework
     extension — the reference has no kernel layer to configure.
+
+    Consequence of absent-leaves-env: in a process that builds runners
+    for SEVERAL configs, a config that sets these keys contaminates
+    later runners whose configs omit them. Multi-config drivers must
+    pop/reset the env between runners (tools/bench_all.py does), or
+    configs can pin ``pallas_kernels='rdstb'``/``pallas_quant='off'``
+    explicitly.
     """
     for cfg_key, env in (("pallas_kernels", "RDST_TPU_PALLAS"),
                          ("pallas_quant", "RDST_TPU_PALLAS_QUANT")):

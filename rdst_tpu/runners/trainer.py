@@ -88,16 +88,22 @@ class SRTrainer:
                                else jnp.float32)
         # pallas_train = 'pair': fused fwd+bwd DSTL-pair kernels inside
         # the jitted train step (kernels/pair_train.py; needs bf16).
-        # Exported as the env flag the trace-time gate reads; an absent
-        # or off key CLEARS the flag so a second trainer in the same
-        # process can't inherit the previous config's kernels.
+        # Exported as the env flag the trace-time gate reads. Same
+        # semantics as export_kernel_flags: an ABSENT key leaves the
+        # env untouched (RDST_TPU_PALLAS_TRAIN stays a valid opt-in per
+        # the pallas_train_mode docstring); a present-but-off key
+        # clears it, so one config can switch kernels off for a later
+        # trainer in the same process (tools/bench_all.py also pops the
+        # env between records).
         import os as _os
 
-        ptk = str(paras.get("pallas_train", "") or "").strip()
-        if ptk and ptk.lower() not in ("none", "0", "false", "off"):
-            _os.environ["RDST_TPU_PALLAS_TRAIN"] = ptk.lower()
-        else:
-            _os.environ.pop("RDST_TPU_PALLAS_TRAIN", None)
+        ptk = paras.get("pallas_train")
+        if ptk is not None:
+            ptk = str(ptk).strip().lower()
+            if ptk and ptk not in ("none", "0", "false", "off"):
+                _os.environ["RDST_TPU_PALLAS_TRAIN"] = ptk
+            else:
+                _os.environ.pop("RDST_TPU_PALLAS_TRAIN", None)
         # pallas_kernels / pallas_quant keys drive the EVAL-path kernels
         # (quick_eva / final eval run deterministic=True inference)
         from rdst_tpu.kernels.window_attention import export_kernel_flags

@@ -47,6 +47,23 @@ def rng():
 
 
 @pytest.fixture(autouse=True)
+def _reset_kernel_env():
+    """Runners export config keys (pallas_kernels/pallas_quant/
+    pallas_train) to these trace-time env gates; snapshot+restore so a
+    test that builds a runner from a config shipping them (e.g.
+    swinir_std) can't contaminate later tests' kernel modes."""
+    keys = ("RDST_TPU_PALLAS", "RDST_TPU_PALLAS_QUANT",
+            "RDST_TPU_PALLAS_TRAIN", "RDST_TPU_PALLAS_IPP")
+    before = {k: os.environ.get(k) for k in keys}
+    yield
+    for k, v in before.items():
+        if v is None:
+            os.environ.pop(k, None)
+        else:
+            os.environ[k] = v
+
+
+@pytest.fixture(autouse=True)
 def _reset_active_mesh():
     """Tests that build a production mesh (make_mesh_from_paras) must
     not leak it into later tests: the kernel wrappers shard_map over

@@ -77,8 +77,11 @@ class TestExportKernelFlags:
                                                        pallas_mode)
         from rdst_tpu.kernels.swin_block import quant_flags
 
-        monkeypatch.delenv("RDST_TPU_PALLAS", raising=False)
-        monkeypatch.delenv("RDST_TPU_PALLAS_QUANT", raising=False)
+        # setenv (not delenv) so monkeypatch records a restore point:
+        # export_kernel_flags writes os.environ directly and the values
+        # must NOT outlive this test (they'd contaminate the suite)
+        monkeypatch.setenv("RDST_TPU_PALLAS", "0")
+        monkeypatch.setenv("RDST_TPU_PALLAS_QUANT", "")
         paras = ParametersLoader(
             "config_files/swinir_std_40k_oasis20_x4.ini")
         assert str(paras.get("inference_dtype")).lower() == "bfloat16"

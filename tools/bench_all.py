@@ -89,6 +89,22 @@ def bench_inference(config_name, gen, extra=None,
     paras.set("feature_generator", gen)
     for k, v in (extra or {}).items():
         paras.set(k, v)
+    # measure the SHIPPED kernel config: reset the trace-time gates to
+    # defaults, then export this config's pallas_kernels/pallas_quant
+    # (absent keys leave defaults; prevents cross-record inheritance —
+    # e.g. swinir_std ships int8 qkv, the next record must not)
+    from rdst_tpu.kernels.window_attention import export_kernel_flags
+
+    os.environ.pop("RDST_TPU_PALLAS", None)
+    os.environ.pop("RDST_TPU_PALLAS_QUANT", None)
+    export_kernel_flags(paras)
+    # the kernel wrappers read these env vars at trace time; their jit
+    # caches would otherwise serve stale executables across records
+    from rdst_tpu.kernels import rdstb_block, swin_block
+
+    swin_block.fused_swin_block.clear_cache()
+    swin_block.fused_swin_pair.clear_cache()
+    rdstb_block.fused_rdstb.clear_cache()
     dtype = jnp.bfloat16
     model = build_generator(paras, dtype=dtype)
     rng = np.random.default_rng(0)

@@ -13,10 +13,13 @@ set -u
 cd "$(dirname "$0")/.."
 
 step() {
+  # stdout is the driver log (see usage above) — echo, don't tee: a
+  # second append fd on the same file interleaves/garbles offsets
   local name="$1"; shift
-  echo "=== [$(date -u +%H:%M:%S)] $name" | tee -a /tmp/tpuq_driver.log
+  echo "=== [$(date -u +%H:%M:%S)] $name"
   "$@" > "/tmp/tpuq_${name}.log" 2>&1
-  echo "=== [$(date -u +%H:%M:%S)] $name exit=$?" | tee -a /tmp/tpuq_driver.log
+  local rc=$?  # BEFORE any $(...) — command substitution resets $?
+  echo "=== [$(date -u +%H:%M:%S)] $name exit=$rc"
 }
 
 # 1. COVID 10k retrain on the regenerated (noise-floored) example8
@@ -38,8 +41,10 @@ step w96_sweep timeout 5400 python tools/kernel_sweep.py \
 step bench7 timeout 3600 python tools/bench_all.py --skip 1 2 3 4 5 6 8 9
 
 # 3. bf16 train-step records: XLA autodiff vs differentiable pair
-#    kernel (PERF.md "Differentiable fused kernels" pending numbers).
-step bench89 timeout 5400 python tools/bench_all.py --skip 1 2 3 4 5 6 7
+#    kernel (PERF.md "Differentiable fused kernels" pending numbers);
+#    plus re-record 6 — swinir_std now SHIPS pallas_kernels='swin' +
+#    pallas_quant='qkv' and bench_inference honors the config keys.
+step bench689 timeout 7200 python tools/bench_all.py --skip 1 2 3 4 5 7
 
 # 4. MetaSR 20k (scale-free training), then multi-scale test.
 step metasr_train timeout 14400 tools/supervise.sh \
@@ -62,4 +67,4 @@ step ganft_eval timeout 3600 python test.py \
 # 6. headline sanity before round end
 step bench_final timeout 3600 python bench.py
 
-echo "=== [$(date -u +%H:%M:%S)] queue complete" | tee -a /tmp/tpuq_driver.log
+echo "=== [$(date -u +%H:%M:%S)] queue complete"
