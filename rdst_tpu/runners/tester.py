@@ -112,26 +112,9 @@ class SRTester:
                 or self.paras.get("well_trained_model_g_x4"))
 
     def _resolve_norm_stats(self):
-        """Training-set mean/std for zero_mean/unit_std configs.
+        from rdst_tpu.checkpoint.loading import resolve_norm_stats
 
-        Prefer the ``<snapshot>.stats.json`` sidecar the trainer writes
-        next to every msgpack (the snapshot is then self-contained, like
-        the reference's in-checkpoint MeanShift); fall back to
-        recomputing from the training volumes only when no sidecar
-        exists (old snapshots)."""
-        path = self._model_path()
-        if path:
-            import json
-
-            sidecar = os.path.splitext(path)[0] + ".stats.json"
-            if exists(sidecar):
-                with open(sidecar) as f:
-                    stats = json.load(f)
-                return stats["mean"], stats["std"]
-        from rdst_tpu.data.readers import make_train_valid_datasets
-
-        ds_train, _ = make_train_valid_datasets(self.paras)
-        return ds_train.mean, ds_train.std
+        return resolve_norm_stats(self.paras, self._model_path())
 
     # -- setup ---------------------------------------------------------------
 
@@ -153,62 +136,10 @@ class SRTester:
         self.write_log(_fancy(f"Loaded well-trained model: {path}"))
 
     def load_params(self, path: str):
-        stem, ext = os.path.splitext(path)
-        if ext == ".pt" and not exists(path) and exists(stem + ".msgpack"):
-            path, ext = stem + ".msgpack", ".msgpack"
-        if ext == ".msgpack":
-            from flax import serialization
+        from rdst_tpu.checkpoint.loading import load_well_trained_params
 
-            # the template must declare every lazily-created per-scale
-            # branch (MDSR heads/tails, IPT queries) or from_bytes fails
-            # on the key mismatch — mirror the trainer's multi-scale init
-            x0 = jnp.zeros((1, 16, 16, self.paras.input_channel))
-            all_scales = sorted(
-                {float(s) for s in self.sr_scales}
-                | {float(s) for s in (self.paras.get("all_sr_scales") or [])})
-            if self.paras.scale_free:
-                smax = float(max(all_scales))
-                template = jax.jit(
-                    lambda r, x: self.model.init(r, x, smax)
-                )(jax.random.PRNGKey(0), x0)
-            else:
-                # union of the TRAINING scales (what the snapshot holds)
-                # and the testing scales (what inference will trace)
-                scales = all_scales
-
-                def init_method(mdl, x):
-                    out = None
-                    for s in scales:
-                        out = mdl(x, s)
-                    return out
-
-                template = jax.jit(
-                    lambda r, x: self.model.init(r, x, method=init_method)
-                )(jax.random.PRNGKey(0), x0)
-            with open(path, "rb") as f:
-                data = f.read()
-            try:
-                return serialization.from_bytes(jax.device_get(template), data)
-            except (ValueError, KeyError) as e:
-                # per-scale-param families (MDSR heads/tails, IPT queries)
-                # fail here when a TESTING scale was never trained — name
-                # the actual problem instead of the raw key mismatch
-                raise ValueError(
-                    f"snapshot {path} does not match the expected parameter "
-                    f"tree for testing scales {self.sr_scales} (training "
-                    f"scales {self.paras.get('all_sr_scales')}): most likely "
-                    "the model was never trained at one of the testing "
-                    "scales, so its per-scale branch is absent from the "
-                    f"snapshot. Underlying error: {e}") from e
-        if ext in (".pt", ".tar", ".pth"):
-            from rdst_tpu.checkpoint.torch_import import load_torch_checkpoint
-
-            arch = self.paras.feature_generator
-            kwargs = {}
-            if arch == "swinir":
-                kwargs["upsampler"] = self.paras.sir_upsampler
-            return load_torch_checkpoint(path, arch, **kwargs)
-        raise ValueError(f"unknown checkpoint format: {path}")
+        return load_well_trained_params(self.model, self.paras, path,
+                                        self.sr_scales)
 
     # -- inference -------------------------------------------------------------
 

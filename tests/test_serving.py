@@ -1,0 +1,199 @@
+"""Serving subsystem: AOT bundle export/roundtrip + batching server.
+
+Framework extension (no reference counterpart); gates:
+
+* exported StableHLO bundle reproduces the live model bitwise on CPU;
+* bundle loads + predicts WITHOUT the training config or data tree;
+* batch bucketing pads/slices correctly across chunk boundaries;
+* the HTTP server answers health/metadata/predict and coalesces
+  concurrent same-shape requests into shared dispatches.
+"""
+
+import io
+import json
+import pathlib
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+SNAPSHOT = REPO / "weights" / "rdst_tiny2k_oasis_x4.msgpack"
+
+pytestmark = pytest.mark.skipif(not SNAPSHOT.exists(),
+                                reason="tiny golden snapshot not present")
+
+
+def _tiny_paras():
+    from rdst_tpu.config import ParametersLoader
+
+    p = ParametersLoader(str(REPO / "config_files" / "rdst_tiny_oasis_x4.ini"))
+    p.set("well_trained_single_scale_model_g", str(SNAPSHOT))
+    return p
+
+
+@pytest.fixture(scope="module")
+def bundle_dir(tmp_path_factory):
+    from rdst_tpu.serving import export_bundle
+
+    out = tmp_path_factory.mktemp("bundle")
+    export_bundle(_tiny_paras(), str(out), lr_shapes=[(24, 28)])
+    return out
+
+
+@pytest.fixture(scope="module")
+def live():
+    from rdst_tpu.serving import LiveModel
+
+    return LiveModel(_tiny_paras(), max_batch=8)
+
+
+class TestBundle:
+    def test_manifest(self, bundle_dir):
+        man = json.loads((bundle_dir / "MANIFEST.json").read_text())
+        assert man["feature_generator"] == "rdst"
+        assert man["scales"] == [4.0]
+        assert man["layout"] == "NHWC"
+        (e,) = man["entries"]
+        assert e["lr_hw"] == [24, 28]
+        assert "cpu" in e["platforms"]  # no kernels -> portable artifact
+        assert (bundle_dir / e["file"]).stat().st_size > 10_000
+        assert (bundle_dir / "params.msgpack").exists()
+
+    def test_roundtrip_matches_live_model(self, bundle_dir, live, rng):
+        from rdst_tpu.serving import ServingBundle
+
+        b = ServingBundle.load(str(bundle_dir), max_batch=8)
+        x = rng.random((3, 24, 28, 1), dtype=np.float32)
+        y_b = b.predict(x, 4.0)
+        y_l = live.predict(x, 4.0)
+        assert y_b.shape == (3, 96, 112, 1)
+        # same StableHLO graph, same params, same platform -> bitwise
+        np.testing.assert_array_equal(y_b, y_l)
+
+    def test_bundle_is_self_contained(self, bundle_dir, rng):
+        """Loading must touch only the bundle dir (no config, no data)."""
+        from rdst_tpu.serving import ServingBundle
+
+        b = ServingBundle.load(str(bundle_dir))
+        x = rng.random((24, 28), dtype=np.float32)  # rank-2 input form
+        y = b.predict(x, 4.0)
+        assert y.shape == (1, 96, 112, 1)
+        assert np.isfinite(y).all()
+
+    def test_bucketing_pad_and_chunks(self, bundle_dir, rng):
+        """n=5 with max_batch=2 -> chunks of 2/2/1(padded); outputs must
+        be per-slice identical to a single n=5 whole-batch run."""
+        from rdst_tpu.serving import ServingBundle
+
+        x = rng.random((5, 24, 28, 1), dtype=np.float32)
+        small = ServingBundle.load(str(bundle_dir), max_batch=2)
+        big = ServingBundle.load(str(bundle_dir), max_batch=8)
+        y_small = small.predict(x, 4.0)
+        y_big = big.predict(x, 4.0)
+        assert y_small.shape == y_big.shape == (5, 96, 112, 1)
+        # rdst normalizes per-batch nothing; forward is per-slice pure,
+        # so chunking must not change values
+        np.testing.assert_allclose(y_small, y_big, atol=1e-5)
+
+    def test_kernels_on_export_writes_portable_twin(self, tmp_path, live,
+                                                    rng):
+        """pallas_kernels config -> TPU-only primary entry (Mosaic
+        custom calls) + portable XLA twin; a CPU host must load the
+        twin and match the live XLA model."""
+        from rdst_tpu.serving import ServingBundle, export_bundle
+
+        p = _tiny_paras()
+        p.set("pallas_kernels", "swin")
+        p.set("inference_dtype", "bfloat16")  # kernel gate needs bf16
+        export_bundle(p, str(tmp_path), lr_shapes=[(24, 28)])
+        man = json.loads((tmp_path / "MANIFEST.json").read_text())
+        (e,) = man["entries"]
+        assert e["platforms"] == ["tpu"]
+        assert (tmp_path / e["portable_file"]).exists()
+
+        b = ServingBundle.load(str(tmp_path))
+        assert b.backend == "cpu"
+        x = rng.random((2, 24, 28, 1), dtype=np.float32)
+        y = b.predict(x, 4.0)  # must route to the portable twin
+        # bf16 fast path vs the f32 live model: loose agreement only
+        y_ref = live.predict(x, 4.0)
+        rel = (np.linalg.norm(y - y_ref) / np.linalg.norm(y_ref))
+        assert rel < 0.02, rel
+
+    def test_unknown_scale_errors(self, bundle_dir):
+        from rdst_tpu.serving import ServingBundle
+
+        b = ServingBundle.load(str(bundle_dir))
+        with pytest.raises(ValueError, match="no entry for scale"):
+            b.predict(np.zeros((1, 24, 28, 1), np.float32), 2.0)
+
+
+class TestServer:
+    @pytest.fixture(scope="class")
+    def server(self, live):
+        from rdst_tpu.serving.server import InferenceServer
+
+        srv = InferenceServer(live, port=0, max_batch=8, batch_wait_ms=20)
+        srv.start_background()
+        yield srv
+        srv.close()
+
+    def _post(self, srv, x, scale=4.0):
+        buf = io.BytesIO()
+        np.save(buf, x)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/v1/predict?scale={scale}",
+            data=buf.getvalue(), method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return np.load(io.BytesIO(r.read()))
+
+    def test_health_and_metadata(self, server):
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{server.port}/healthz", timeout=30) as r:
+            assert json.loads(r.read())["status"] == "ok"
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{server.port}/v1/metadata",
+                timeout=30) as r:
+            man = json.loads(r.read())
+        assert man["feature_generator"] == "rdst"
+
+    def test_predict_roundtrip(self, server, live, rng):
+        x = rng.random((2, 24, 28, 1), dtype=np.float32)
+        y = self._post(server, x)
+        np.testing.assert_array_equal(y, live.predict(x, 4.0))
+
+    def test_concurrent_requests_coalesce(self, server, live, rng):
+        """4 threads x 1 slice: every caller gets ITS OWN slice back
+        (the batcher must split coalesced outputs correctly)."""
+        xs = [rng.random((1, 24, 28, 1), dtype=np.float32)
+              for _ in range(4)]
+        outs = [None] * 4
+
+        def call(i):
+            outs[i] = self._post(server, xs[i])
+
+        threads = [threading.Thread(target=call, args=(i,))
+                   for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        for i in range(4):
+            np.testing.assert_array_equal(outs[i], live.predict(xs[i], 4.0))
+
+    def test_bad_input_is_400(self, server):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/v1/predict?scale=4",
+            data=b"not an npy", method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 400
+        assert "error" in json.loads(ei.value.read())
+
+    def test_unknown_route_is_404(self, server):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{server.port}/nope", timeout=30)
+        assert ei.value.code == 404
