@@ -252,3 +252,19 @@ class TestOptimFactories:
         updates, _ = tx.update({"w": jnp.ones(4)}, state, params)
         new = optax.apply_updates(params, updates)
         assert float(new["w"][0]) < 1.0  # moved against the gradient
+
+
+def test_flops_cli_json(capsys):
+    """python -m rdst_tpu.utils.flops emits one JSON line with compiled
+    forward + grad costs for a config (docs/SCALING.md surface)."""
+    import json
+
+    from rdst_tpu.utils.flops import main
+
+    main(["--config-file", "config_files/rdst_tiny_oasis_x4.ini",
+          "--batch", "1", "--grad"])
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["model"] == "rdst"
+    assert out["params"] > 1e5
+    assert out["grad_flops"] > out["forward_flops"] > 1e8
+    assert out["forward_bytes"] > 0
