@@ -328,6 +328,10 @@ def fused_rdstb(x_tokens, dstls, conv_kernel, conv_bias, *,
     splits the image batch over the active mesh's data axis so each
     device runs only its own grid steps (see
     swin_block.shard_grid_over_data)."""
+    # env gate resolved unjitted -> part of the jit cache key (see
+    # swin_block.fused_swin_block); rdstb also supports the conv group
+    if quant is None:
+        quant = quant_flags()
     call = functools.partial(
         _fused_rdstb_impl, num_heads=num_heads, x_size=tuple(x_size),
         window_size=window_size, shift=shift, growth=growth,

@@ -632,6 +632,10 @@ def fused_swin_block(x_windows, wqkv, bqkv, wproj, bproj,
     """Data-parallel shim over `_fused_swin_block_jit` (same contract):
     splits B·nW over the active mesh's data axis so each device runs
     only its own images' grid steps."""
+    # resolve the env gate HERE (unjitted) so the quant groups are part
+    # of the jit cache key — flipping RDST_TPU_PALLAS_QUANT between
+    # calls then retraces instead of serving a stale executable
+    quant = mm_quant_groups(quant_flags() if quant is None else quant)
     call = functools.partial(
         _fused_swin_block_jit, num_heads=num_heads,
         windows_per_image=windows_per_image,
@@ -870,6 +874,9 @@ def fused_swin_pair(x_windows, params_a, bias_a, params_b, bias_b, *,
                     quant: frozenset = None):
     """Data-parallel shim over `_fused_swin_pair_jit` (same contract):
     splits B·nW over the active mesh's data axis at image boundaries."""
+    # env gate resolved unjitted -> part of the jit cache key (see
+    # fused_swin_block)
+    quant = mm_quant_groups(quant_flags() if quant is None else quant)
     nw = (x_size[0] // window_size) * (x_size[1] // window_size)
     call = functools.partial(
         _fused_swin_pair_jit, num_heads=num_heads, x_size=tuple(x_size),

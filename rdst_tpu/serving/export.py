@@ -56,11 +56,12 @@ def _canon_input(x) -> np.ndarray:
 
 
 def _bucket(n: int, max_batch: int) -> int:
-    """Next power-of-two batch bucket (one XLA executable per bucket)."""
+    """Next power-of-two batch bucket, capped at max_batch (one XLA
+    executable per bucket; oversized requests split into chunks)."""
     b = 1
     while b < n:
         b *= 2
-    return min(b, max(max_batch, n))
+    return max(1, min(b, max_batch))
 
 
 def _bucketed_predict(fn, params, x: np.ndarray, max_batch: int,
@@ -171,54 +172,50 @@ def export_bundle(paras, out_dir: str,
 
     kernels_on = bool(meta["pallas_kernels"]) and \
         str(meta["pallas_kernels"]).lower() not in ("0", "off", "none", "xla")
-    entries = []
-    for s in scales:
-        for hw in lr_shapes:
-            stem = f"sr_x{s:g}_{hw[0]}x{hw[1]}"
-            if kernels_on:
-                # fused Mosaic custom calls are TPU-only; also write a
-                # portable XLA-only twin for CPU smoke/fallback
-                data = _export_entry(model, params, infer_dtype, s, hw,
-                                     meta["input_channel"], ["tpu"])
-                with open(join(out_dir, stem + ".shlo"), "wb") as f:
-                    f.write(data)
-                saved = os.environ.pop("RDST_TPU_PALLAS", None)
-                _clear_kernel_caches()
-                try:
-                    pdata = _export_entry(model, params, infer_dtype, s, hw,
-                                          meta["input_channel"],
-                                          ["cpu", "tpu"])
-                finally:
-                    if saved is not None:
-                        os.environ["RDST_TPU_PALLAS"] = saved
-                    _clear_kernel_caches()
-                with open(join(out_dir, stem + ".portable.shlo"), "wb") as f:
-                    f.write(pdata)
-                entries.append({"scale": s, "lr_hw": list(hw),
-                                "file": stem + ".shlo",
-                                "platforms": ["tpu"],
-                                "portable_file": stem + ".portable.shlo"})
-            else:
-                data = _export_entry(model, params, infer_dtype, s, hw,
-                                     meta["input_channel"], ["cpu", "tpu"])
-                with open(join(out_dir, stem + ".shlo"), "wb") as f:
-                    f.write(data)
-                entries.append({"scale": s, "lr_hw": list(hw),
-                                "file": stem + ".shlo",
-                                "platforms": ["cpu", "tpu"]})
+    specs = [(s, tuple(hw)) for s in scales for hw in lr_shapes]
+
+    def stem(s, hw):
+        return f"sr_x{s:g}_{hw[0]}x{hw[1]}"
+
+    def write_all(suffix, platforms):
+        for s, hw in specs:
+            data = _export_entry(model, params, infer_dtype, s, hw,
+                                 meta["input_channel"], platforms)
+            with open(join(out_dir, stem(s, hw) + suffix), "wb") as f:
+                f.write(data)
+
+    if kernels_on:
+        # fused Mosaic custom calls are TPU-only; portable XLA-only
+        # twins ride alongside for CPU smoke/fallback. All primary
+        # entries export first, then ONE env flip for all the twins
+        # (the kernel mode gate is read per trace)
+        write_all(".shlo", ["tpu"])
+        saved = os.environ.pop("RDST_TPU_PALLAS", None)
+        from rdst_tpu.kernels import clear_kernel_caches
+
+        clear_kernel_caches()
+        try:
+            write_all(".portable.shlo", ["cpu", "tpu"])
+        finally:
+            if saved is not None:
+                os.environ["RDST_TPU_PALLAS"] = saved
+            clear_kernel_caches()
+        entries = [{"scale": s, "lr_hw": list(hw),
+                    "file": stem(s, hw) + ".shlo", "platforms": ["tpu"],
+                    "portable_file": stem(s, hw) + ".portable.shlo",
+                    "portable_platforms": ["cpu", "tpu"]}
+                   for s, hw in specs]
+    else:
+        write_all(".shlo", ["cpu", "tpu"])
+        entries = [{"scale": s, "lr_hw": list(hw),
+                    "file": stem(s, hw) + ".shlo",
+                    "platforms": ["cpu", "tpu"]} for s, hw in specs]
     meta["entries"] = entries
     with open(join(out_dir, MANIFEST_NAME), "w") as f:
         json.dump(meta, f, indent=1)
     return out_dir
 
 
-def _clear_kernel_caches():
-    """Kernel wrappers read env gates at trace time; drop their caches."""
-    from rdst_tpu.kernels import rdstb_block, swin_block
-
-    swin_block.fused_swin_block.clear_cache()
-    swin_block.fused_swin_pair.clear_cache()
-    rdstb_block.fused_rdstb.clear_cache()
 
 
 class ServingBundle:
@@ -260,7 +257,17 @@ class ServingBundle:
     def _call_for(self, entry: dict):
         fname = entry["file"]
         if self.backend not in entry["platforms"]:
-            fname = entry.get("portable_file") or fname
+            portable = entry.get("portable_file")
+            if portable and self.backend in entry.get(
+                    "portable_platforms", ["cpu", "tpu"]):
+                fname = portable
+            else:
+                raise ValueError(
+                    f"bundle entry {entry['file']} was exported for "
+                    f"platforms {entry['platforms']} (portable twin: "
+                    f"{entry.get('portable_platforms')}); current jax "
+                    f"backend is {self.backend!r} — re-export the bundle "
+                    "for this platform")
         if fname not in self._calls:
             with open(join(self.dir, fname), "rb") as f:
                 exp = jexport.deserialize(f.read())

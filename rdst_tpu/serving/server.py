@@ -61,9 +61,15 @@ class Batcher:
         self.thread.start()
 
     def submit(self, x: np.ndarray, scale: float) -> np.ndarray:
+        if self._stop.is_set():
+            raise RuntimeError("batcher is shut down")
         slot = _Slot(x, float(scale))
         self.q.put(slot)
-        slot.event.wait()
+        # poll the stop flag so a shutdown racing this submit can never
+        # leave the caller blocked on an abandoned slot
+        while not slot.event.wait(0.5):
+            if self._stop.is_set() and not slot.event.is_set():
+                raise RuntimeError("batcher shut down mid-request")
         if slot.err is not None:
             raise slot.err
         return slot.out
@@ -72,6 +78,15 @@ class Batcher:
         self._stop.set()
         self.q.put(None)  # wake the dispatcher
         self.thread.join(timeout=5)
+        # fail anything still queued so no submitter blocks forever
+        while True:
+            try:
+                got = self.q.get_nowait()
+            except queue.Empty:
+                break
+            if got is not None:
+                got.err = RuntimeError("batcher is shut down")
+                got.event.set()
 
     # -- dispatcher ---------------------------------------------------------
 
@@ -168,14 +183,10 @@ def make_handler(batcher: Batcher, manifest: dict):
                 scale = float(qs.get("scale", ["4"])[0])
                 length = int(self.headers.get("Content-Length", 0))
                 raw = self.rfile.read(length)
-                x = np.load(io.BytesIO(raw), allow_pickle=False)
-                x = np.asarray(x, np.float32)
-                if x.ndim == 2:
-                    x = x[None, :, :, None]
-                elif x.ndim == 3:
-                    x = x[..., None]
-                if x.ndim != 4:
-                    raise ValueError(f"bad input rank: {x.shape}")
+                from rdst_tpu.serving.export import _canon_input
+
+                x = _canon_input(np.load(io.BytesIO(raw),
+                                         allow_pickle=False))
                 out = batcher.submit(x, scale)
                 buf = io.BytesIO()
                 np.save(buf, out)

@@ -51,7 +51,10 @@ def _reset_kernel_env():
     """Runners export config keys (pallas_kernels/pallas_quant/
     pallas_train) to these trace-time env gates; snapshot+restore so a
     test that builds a runner from a config shipping them (e.g.
-    swinir_std) can't contaminate later tests' kernel modes."""
+    swinir_std) can't contaminate later tests' kernel modes. No cache
+    clearing needed: the quant gate is resolved in the UNJITTED kernel
+    wrappers (part of the jit cache key), and the mode/train gates only
+    select which code path a fresh per-test outer jit traces."""
     keys = ("RDST_TPU_PALLAS", "RDST_TPU_PALLAS_QUANT",
             "RDST_TPU_PALLAS_TRAIN", "RDST_TPU_PALLAS_IPP")
     before = {k: os.environ.get(k) for k in keys}

@@ -82,6 +82,17 @@ class TestBundle:
         assert y.shape == (1, 96, 112, 1)
         assert np.isfinite(y).all()
 
+    def test_bucket_caps_at_max_batch(self):
+        """Oversized requests must split into max_batch chunks, not
+        dispatch one giant (fresh-compile, OOM-risk) executable."""
+        from rdst_tpu.serving.export import _bucket
+
+        assert _bucket(200, 64) == 64
+        assert _bucket(1000, 64) == 64
+        assert _bucket(5, 2) == 2
+        assert _bucket(3, 8) == 4
+        assert _bucket(1, 64) == 1
+
     def test_bucketing_pad_and_chunks(self, bundle_dir, rng):
         """n=5 with max_batch=2 -> chunks of 2/2/1(padded); outputs must
         be per-slice identical to a single n=5 whole-batch run."""
@@ -197,3 +208,49 @@ class TestServer:
             urllib.request.urlopen(
                 f"http://127.0.0.1:{server.port}/nope", timeout=30)
         assert ei.value.code == 404
+
+
+class TestBatcherShutdown:
+    def test_close_fails_queued_slots(self):
+        """Slots still queued at close() must error out, not hang."""
+        import time
+
+        from rdst_tpu.serving.server import Batcher
+
+        class Slow:
+            def predict(self, x, scale):
+                time.sleep(0.5)
+                return x
+
+        b = Batcher(Slow(), max_batch=1, batch_wait_ms=1)
+        results = []
+
+        def call():
+            try:
+                b.submit(np.zeros((1, 4, 4, 1), np.float32), 4.0)
+                results.append("ok")
+            except RuntimeError:
+                results.append("shutdown")
+
+        threads = [threading.Thread(target=call) for _ in range(6)]
+        for t in threads:
+            t.start()
+        time.sleep(0.1)  # let the dispatcher start on the first slot
+        b.close()
+        for t in threads:
+            t.join(timeout=30)
+            assert not t.is_alive(), "submitter hung after close()"
+        assert len(results) == 6
+        assert "shutdown" in results  # the queued tail was failed
+
+    def test_submit_after_close_raises(self):
+        from rdst_tpu.serving.server import Batcher
+
+        class Echo:
+            def predict(self, x, scale):
+                return x
+
+        b = Batcher(Echo())
+        b.close()
+        with pytest.raises(RuntimeError, match="shut down"):
+            b.submit(np.zeros((1, 4, 4, 1), np.float32), 4.0)

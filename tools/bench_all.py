@@ -98,13 +98,11 @@ def bench_inference(config_name, gen, extra=None,
     os.environ.pop("RDST_TPU_PALLAS", None)
     os.environ.pop("RDST_TPU_PALLAS_QUANT", None)
     export_kernel_flags(paras)
-    # the kernel wrappers read these env vars at trace time; their jit
-    # caches would otherwise serve stale executables across records
-    from rdst_tpu.kernels import rdstb_block, swin_block
+    # quant is keyed into the wrapper jit caches, but PRECISE/budget
+    # trace-time reads are not — drop everything between records
+    from rdst_tpu.kernels import clear_kernel_caches
 
-    swin_block.fused_swin_block.clear_cache()
-    swin_block.fused_swin_pair.clear_cache()
-    rdstb_block.fused_rdstb.clear_cache()
+    clear_kernel_caches()
     dtype = jnp.bfloat16
     model = build_generator(paras, dtype=dtype)
     rng = np.random.default_rng(0)
