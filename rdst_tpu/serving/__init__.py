@@ -15,4 +15,17 @@ research eval scripts only). Two deployable forms:
 from rdst_tpu.serving.export import (LiveModel, ServingBundle,
                                      export_bundle)
 
-__all__ = ["export_bundle", "ServingBundle", "LiveModel"]
+__all__ = ["export_bundle", "ServingBundle", "LiveModel", "SRClient",
+           "sr_volume"]
+
+
+def __getattr__(name):  # lazy: client/volume pull optional deps
+    if name == "SRClient":
+        from rdst_tpu.serving.client import SRClient
+
+        return SRClient
+    if name == "sr_volume":
+        from rdst_tpu.serving.volume import sr_volume
+
+        return sr_volume
+    raise AttributeError(name)

@@ -210,6 +210,60 @@ class TestServer:
         assert ei.value.code == 404
 
 
+class TestVolume:
+    def test_sr_volume_live(self, live, rng):
+        """3-D volume -> in-plane SR along the slice axis; intensities
+        restored to the input range."""
+        from rdst_tpu.serving.volume import sr_volume
+
+        vol = (rng.random((24, 28, 3), dtype=np.float32) * 400 + 100)
+        out = sr_volume(live, vol, 4.0, axis=2)
+        assert out.shape == (96, 112, 3)
+        assert 50 < out.min() and out.max() < 600  # back in input space
+
+    def test_sr_volume_rejects_nan(self, live):
+        from rdst_tpu.serving.volume import sr_volume
+
+        vol = np.full((24, 28, 2), np.nan, np.float32)
+        with pytest.raises(ValueError, match="non-finite"):
+            sr_volume(live, vol, 4.0)
+
+    def test_volume_cli_nifti_roundtrip(self, bundle_dir, tmp_path, rng):
+        """CLI: .nii.gz in -> SR .nii.gz out, through the AOT bundle."""
+        from rdst_tpu.data import io
+        from rdst_tpu.serving.volume import main
+
+        vol = rng.random((24, 28, 2), dtype=np.float32)
+        src = str(tmp_path / "in.nii.gz")
+        dst = str(tmp_path / "out.nii.gz")
+        io.save(src, vol)
+        main(["--bundle", str(bundle_dir), "--in", src, "--out", dst,
+              "--scale", "4"])
+        out = io.load(dst).get_fdata()
+        assert out.shape == (96, 112, 2)
+        assert np.isfinite(out).all()
+
+    def test_client_predictor_over_http(self, live, rng):
+        """SRClient satisfies the predictor contract: sr_volume runs
+        over the wire and matches the local result."""
+        from rdst_tpu.serving.client import SRClient
+        from rdst_tpu.serving.server import InferenceServer
+        from rdst_tpu.serving.volume import sr_volume
+
+        srv = InferenceServer(live, port=0, max_batch=8)
+        srv.start_background()
+        try:
+            client = SRClient(f"http://127.0.0.1:{srv.port}")
+            assert client.health()["status"] == "ok"
+            assert client.metadata()["feature_generator"] == "rdst"
+            vol = rng.random((24, 28, 2), dtype=np.float32)
+            np.testing.assert_allclose(
+                sr_volume(client, vol, 4.0),
+                sr_volume(live, vol, 4.0), atol=1e-5)
+        finally:
+            srv.close()
+
+
 class TestBatcherShutdown:
     def test_close_fails_queued_slots(self):
         """Slots still queued at close() must error out, not hang."""
