@@ -132,7 +132,19 @@ def load(path: str) -> "Volume":
         payload = raw
         offset = max(hdr.vox_offset, 352)
 
-    count = int(np.prod(hdr.shape))
+    # validate against crafted/corrupt headers BEFORE allocating: a
+    # negative dim makes np.prod/ frombuffer misbehave confusingly, and
+    # an undersized payload should name the file, not raise a raw
+    # buffer error from numpy internals
+    if any(d < 1 for d in hdr.shape):
+        raise ValueError(f"{path}: invalid volume dims {hdr.shape}")
+    count = int(np.prod(hdr.shape, dtype=np.int64))
+    need = offset + count * hdr.dtype.itemsize
+    if need > len(payload):
+        raise ValueError(
+            f"{path}: header declares {hdr.shape} {hdr.dtype} "
+            f"({need} bytes incl. offset {offset}) but the payload has "
+            f"only {len(payload)} bytes — truncated or corrupt volume")
     data = np.frombuffer(payload, dtype=hdr.dtype, count=count, offset=offset)
     data = data.reshape(hdr.shape, order="F")
     return Volume(data, hdr)

@@ -213,6 +213,48 @@ class TestVolumeIOEdgeCases:
         with pytest.raises(ValueError):
             io.load(str(p))
 
+    def test_negative_dim_rejected(self, tmp_path):
+        """A crafted header with a negative dim must raise a named
+        error, not misbehave inside numpy."""
+        import struct
+
+        from rdst_tpu.data import io
+
+        p = str(tmp_path / "v.nii")
+        io.save(p, np.zeros((2, 2, 2), np.float32))
+        raw = bytearray(open(p, "rb").read())
+        struct.pack_into("<8h", raw, 40, 3, 2, -2, 2, 1, 1, 1, 1)
+        open(p, "wb").write(bytes(raw))
+        with pytest.raises(ValueError, match="invalid volume dims"):
+            io.load(p)
+
+    def test_truncated_payload_rejected(self, tmp_path):
+        """Header says more voxels than the payload holds -> a clear
+        'truncated or corrupt' error naming the file."""
+        from rdst_tpu.data import io
+
+        p = str(tmp_path / "v.nii")
+        io.save(p, np.zeros((4, 4, 4), np.float32))
+        blob = open(p, "rb").read()
+        open(p, "wb").write(blob[:-64])  # chop the payload tail
+        with pytest.raises(ValueError, match="truncated or corrupt"):
+            io.load(p)
+
+    def test_oversized_dims_rejected(self, tmp_path):
+        """Absurd dims (multi-GB claim vs tiny payload) must fail the
+        size check instead of attempting allocation."""
+        import struct
+
+        from rdst_tpu.data import io
+
+        p = str(tmp_path / "v.nii")
+        io.save(p, np.zeros((2, 2, 2), np.float32))
+        raw = bytearray(open(p, "rb").read())
+        struct.pack_into("<8h", raw, 40, 3, 32000, 32000, 32000, 1, 1, 1, 1)
+        open(p, "wb").write(bytes(raw))
+        with pytest.raises(ValueError, match="truncated or corrupt"):
+            io.load(p)
+
 
 class TestOptimFactories:
     def test_schedules(self):
