@@ -173,6 +173,9 @@ class SRTrainer:
         }
         self.checkpoint_dir = join(self.output_root, "checkpoint")
         self.log_file = join(self.output_root, "training_log.txt")
+        # structured twin of the text log (SURVEY §5.5's JSONL addition):
+        # one record per check interval, machine-readable for dashboards
+        self.metrics_file = join(self.output_root, "metrics.jsonl")
 
     # -- setup / checkpointing ----------------------------------------------
 
@@ -643,6 +646,7 @@ class SRTrainer:
                             f"[{ts}] epoch {self.current_epoch}/{self.epochs_in_total[ts]} "
                             f"loss={self._last_total_f:.6f} ({np.mean(self.training_epoch_costs[-self.check_every:]):.3f}s/epoch)\n"
                             + plog)
+                        self.log_metrics(ts)
                     self._wd_step = self.state.step  # watchdog heartbeat
 
                 self._flush_scalar_records(pending, ts)
@@ -831,6 +835,32 @@ class SRTrainer:
             f.write(plog + "\n")
         if self.verbose:
             print(plog, flush=True)
+
+    def log_metrics(self, ts: str):
+        """Append one structured check-interval record to metrics.jsonl
+        (the text log / PNG curves stay the reference-parity artifacts;
+        this is the machine-readable twin — SURVEY §5.5)."""
+        rec = {
+            "time": time.time(),
+            "state": ts,
+            "step": int(self.state.step),
+            "epoch": int(self.current_epoch),
+            "loss": float(self._last_total_f),
+            "s_per_epoch": float(
+                np.mean(self.training_epoch_costs[-self.check_every:])),
+        }
+        if self.quick_validation_reports:
+            for k, v in self.quick_validation_reports[-1].items():
+                try:
+                    rec[f"eva_{k}"] = float(np.mean(v))
+                except (TypeError, ValueError):
+                    pass
+        try:
+            with open(self.metrics_file, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+        except OSError as e:  # observability must never kill training
+            if self.verbose:
+                print(f"(metrics.jsonl write failed: {e})", flush=True)
 
 
 # reference-compatible name (the main trainer, trans_sr_trainer.py:22)

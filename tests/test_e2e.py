@@ -54,6 +54,16 @@ def test_train_resume_test(e2e_env):
     assert (out / "training_log.txt").exists()
     assert len(trainer.training_loss_records["WarmUP"]) == 4
     assert len(trainer.quick_validation_reports) == 2
+    # structured JSONL twin of the text log (SURVEY §5.5 addition):
+    # one record per check interval, with loss + quick-eva means
+    import json
+
+    lines = (out / "metrics.jsonl").read_text().strip().splitlines()
+    assert len(lines) == 2
+    rec = json.loads(lines[-1])
+    assert rec["state"] == "WarmUP" and rec["step"] == 4
+    assert np.isfinite(rec["loss"]) and rec["s_per_epoch"] > 0
+    assert any(k.startswith("eva_psnr") for k in rec)
 
     # resume: a fresh trainer restores the completed state and does nothing
     trainer2 = SRTrainer(p, ds_train, ds_valid, seed=0)
