@@ -65,17 +65,22 @@ def _bucket(n: int, max_batch: int) -> int:
 
 
 def _bucketed_predict(fn, params, x: np.ndarray, max_batch: int,
-                      residual_scale: float) -> np.ndarray:
-    """Shared dispatch: pad to bucket, run, slice, blend residual."""
+                      residual_scale: float, put=jnp.asarray,
+                      min_bucket: int = 1) -> np.ndarray:
+    """Shared dispatch: pad to bucket, run, slice, blend residual.
+
+    ``put`` moves a host chunk to the device(s) — mesh-aware callers
+    pass a batch-sharding device_put; ``min_bucket`` keeps every bucket
+    divisible by the mesh's data axis."""
     n = x.shape[0]
-    b = _bucket(n, max_batch)
+    b = max(_bucket(n, max_batch), min_bucket)
     out_chunks = []
     for i in range(0, n, b):
         blk = x[i:i + b]
         pad = b - blk.shape[0]
         if pad:
             blk = np.concatenate([blk, np.repeat(blk[-1:], pad, 0)])
-        y = np.asarray(fn(params, jnp.asarray(blk)))
+        y = np.asarray(fn(params, put(blk)))
         out_chunks.append(y[:b - pad] if pad else y)
     out = np.concatenate(out_chunks, 0)
     if residual_scale > 0:
@@ -288,17 +293,36 @@ class LiveModel:
 
     Used by the server's ``--config-file`` mode: builds the generator +
     params from a training config (same path as the tester) and jits
-    per (scale, bucket shape). Prefer :class:`ServingBundle` for
-    deployment — it needs no config, data tree, or model code version.
+    per (scale, bucket shape). Mesh-aware like the tester: the config's
+    ``mesh_shape`` key shards each batch over the data axis (params
+    replicated; buckets padded to a mesh multiple), so one server
+    process drives a whole slice of chips. Prefer
+    :class:`ServingBundle` for single-chip deployment — it needs no
+    config, data tree, or model code version.
     """
 
     def __init__(self, paras, max_batch: int = 64):
+        from rdst_tpu.parallel import (batch_sharding,
+                                       make_mesh_from_paras,
+                                       replicate_tree)
+
+        # make_mesh_from_paras also registers the active mesh so the
+        # Pallas kernel wrappers shard_map over it (must precede the
+        # first trace)
+        self.mesh = make_mesh_from_paras(paras)
         model, params, infer_dtype, meta = build_serving_model(paras)
-        self.model, self.params = model, params
-        self.manifest = dict(meta, entries=[])
+        self.model = model
+        self.params = replicate_tree(self.mesh, params)
+        self.manifest = dict(meta, entries=[],
+                             mesh={k: int(v)
+                                   for k, v in self.mesh.shape.items()})
         self.max_batch = int(max_batch)
         self._dtype = infer_dtype
         self._fns: Dict[Tuple, object] = {}
+        self._batch_sharding = batch_sharding(self.mesh)
+
+    def _put(self, blk: np.ndarray):
+        return jax.device_put(blk, self._batch_sharding)
 
     def predict(self, x, scale: float) -> np.ndarray:
         x = _canon_input(x)
@@ -314,7 +338,8 @@ class LiveModel:
             self._fns[key] = jax.jit(fn)
         rs = float(self.manifest.get("residual_scale", 0.0) or 0.0)
         return _bucketed_predict(self._fns[key], self.params, x,
-                                 self.max_batch, rs)
+                                 self.max_batch, rs, put=self._put,
+                                 min_bucket=self.mesh.shape["data"])
 
 
 def main(argv=None):

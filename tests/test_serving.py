@@ -210,6 +210,28 @@ class TestServer:
         assert ei.value.code == 404
 
 
+class TestMeshServing:
+    def test_live_model_dp_mesh_parity(self, live, rng):
+        """mesh_shape=[8] LiveModel: batch sharded over the 8-device
+        CPU mesh, output matches the single-device predictor and
+        buckets stay mesh-divisible."""
+        from rdst_tpu.serving import LiveModel
+
+        p = _tiny_paras()
+        p.set("mesh_shape", [8])
+        dp = LiveModel(p, max_batch=16)
+        assert dp.manifest["mesh"]["data"] == 8
+        # n=3 < 8 devices: bucket must pad up to the mesh multiple
+        x = rng.random((3, 24, 28, 1), dtype=np.float32)
+        np.testing.assert_allclose(dp.predict(x, 4.0),
+                                   live.predict(x, 4.0), atol=1e-5)
+        # n=11: chunked (8 + padded 8) across the mesh
+        x = rng.random((11, 24, 28, 1), dtype=np.float32)
+        y = dp.predict(x, 4.0)
+        assert y.shape == (11, 96, 112, 1)
+        np.testing.assert_allclose(y, live.predict(x, 4.0), atol=1e-5)
+
+
 class TestVolume:
     def test_sr_volume_live(self, live, rng):
         """3-D volume -> in-plane SR along the slice axis; intensities
