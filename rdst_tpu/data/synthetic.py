@@ -176,6 +176,10 @@ if __name__ == "__main__":
     ap.add_argument("--root", default="data/OASIS/example")
     ap.add_argument("--dataset", default="oasis", choices=["oasis", "brats", "acdc", "covid"])
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--shape", type=int, nargs=3, default=None,
+                    metavar=("H", "W", "Z"),
+                    help="Override the volume shape (smaller = faster "
+                         "smoke runs; each dataset has its own default).")
     ap.add_argument("--n-patients", type=int, default=None,
                     help="Override the number of phantoms; ids follow each "
                          "dataset's reference naming (oasis OAS1_{n:04d}_MR1, "
@@ -198,5 +202,7 @@ if __name__ == "__main__":
     if args.n_patients is not None:
         kwargs["patient_ids"] = tuple(
             id_format.format(i) for i in range(1, args.n_patients + 1))
+    if args.shape is not None:
+        kwargs["shape"] = tuple(args.shape)
     maker(args.root, seed=args.seed, **kwargs)
     print(f"wrote synthetic {args.dataset} example data to {args.root}")
