@@ -379,6 +379,11 @@ class RDSTSR(nn.Module):
     # constructor-time resolution for the shift clamp decision (the RDST
     # factory passes the LR training patch size, swinIR_variations.py:1149)
     build_resolution: Optional[Tuple[int, int]] = None
+    # rdst_remat config key: rematerialize each RDSTB in the backward
+    # (jax.checkpoint) — trades ~1 extra forward of FLOPs for dropping
+    # the dense-concat activations (the main memory consumer, SURVEY
+    # §7.3.6), so bigger geometries/batches train on one chip
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -400,8 +405,12 @@ class RDSTSR(nn.Module):
             tokens = tokens + ape
         tokens = nn.Dropout(self.drop_rate)(tokens, deterministic=deterministic)
 
+        # x_size/deterministic are static python values (reshape shapes /
+        # trace-time branches) — they must not become remat tracers
+        block_cls = (nn.remat(RDSTB, static_argnums=(2, 3))
+                     if self.remat and not deterministic else RDSTB)
         for i in range(num_blocks):
-            tokens = RDSTB(
+            tokens = block_cls(
                 input_dim=self.embed_dim,
                 layer_depth=self.dense_layer_depths[i],
                 num_heads=self.num_heads[i],
@@ -493,6 +502,7 @@ def make_rdst(paras, mean=None, std=None, dtype=jnp.float32) -> RDSTSR:
             paras.patch_size // paras.swin_patch_size,
             paras.patch_size // paras.swin_patch_size,
         ),
+        remat=bool(paras.get("rdst_remat", False)),
         dtype=dtype,
     )
 

@@ -202,3 +202,41 @@ class TestESTSR:
         assert "body_1" in params["params"]["body_0"]
         y = m.apply(params, x)
         assert y.shape == (1, 32, 48, 1)
+
+
+def test_rdst_remat_grad_parity():
+    """rdst_remat=True (jax.checkpoint over each RDSTB) must change
+    grads by nothing beyond float noise while the traced step stays
+    valid. The memory effect is a TPU-HBM property (the XLA CPU
+    scheduler is not memory-targeted: temp_size is ~unchanged here at
+    every geometry) — the hardware queue records memory_analysis on
+    the TPU compile instead."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rdst_tpu.config import ParametersLoader
+    from rdst_tpu.models import build_generator
+
+    p = ParametersLoader("config_files/rdst_tiny_oasis_x4.ini")
+    p.set("swin_drop_rate", 0.0)  # identical forwards w/o rng plumbing
+
+    def grads(remat):
+        p.set("rdst_remat", remat)
+        model = build_generator(p)
+        x = jnp.asarray(
+            np.random.default_rng(0).random((2, 8, 8, 1)), jnp.float32)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+
+        def loss(v, xx):
+            out = model.apply(v, xx, deterministic=False,
+                              rngs={"dropout": jax.random.PRNGKey(1),
+                                    "droppath": jax.random.PRNGKey(2)})
+            return jnp.mean(jnp.abs(out))
+
+        return jax.jit(jax.grad(loss))(params, x)
+
+    g0 = grads(False)
+    g1 = grads(True)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-4)

@@ -22,6 +22,12 @@ step() {
   echo "=== [$(date -u +%H:%M:%S)] $name exit=$rc"
 }
 
+# 0. Compile-only (cheap, first): does per-RDSTB remat cut the
+#    flagship train step's HBM temp bytes on the TPU backend? Decides
+#    whether the flagship config ships rdst_remat=True (the CPU
+#    scheduler shows ~no effect; HBM is the question).
+step remat_memcheck timeout 1800 python tools/remat_memcheck.py
+
 # 1. COVID 10k retrain on the regenerated (noise-floored) example8
 #    corpus, supervised restart-on-stall; then eval the best snapshot.
 #    Bicubic baseline on this corpus: 31.13/0.902.
