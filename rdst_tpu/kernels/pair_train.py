@@ -213,6 +213,14 @@ def _make_core(nh, t, n, c, hidden, nwb, geom, has_dpf, interpret,
                 + [g_out(a) for a in fb] + [g_out(bb)])
         out_shape = tuple(o[0] for o in outs)
         out_specs = tuple(o[1] for o in outs)
+        # the bwd program's Mosaic stack overflows the default 16 MiB
+        # scoped-VMEM limit at flagship geometry (measured 20.6 MiB);
+        # raise the per-kernel limit — v5e has 128 MiB physical VMEM
+        # and _TRAIN_VMEM_FACTOR gates admission well below that
+        ckw = {}
+        if pltpu is not None and not interpret:
+            ckw["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024)
         res = pl.pallas_call(
             bwd_kernel,
             grid=grid,
@@ -220,6 +228,7 @@ def _make_core(nh, t, n, c, hidden, nwb, geom, has_dpf, interpret,
             out_specs=out_specs,
             out_shape=out_shape,
             interpret=interpret,
+            **ckw,
         )(xg, dz, *fa, ba, *fb, bb, *extra)
         dxg = res[0]
         p = _N_BLOCK_PARAMS

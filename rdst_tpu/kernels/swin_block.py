@@ -171,6 +171,25 @@ def _normalize(xf, nseg: int = 1):
     return xf * ab - mab
 
 
+def _bias_add(y, b, mm):
+    """(R, k) + (1, k). mm=True (training kernels only) materializes
+    the row broadcast as an MXU ones-column outer product instead of a
+    ``vector.broadcast``: the pair-train BACKWARD program is large
+    enough that Mosaic packs several (1, k) bias vectors into shared
+    tiles at nonzero lane offsets and then rejects the broadcast with
+    'Invalid input layout' (hardware-measured at the flagship train
+    geometry: (1x120)->(576x120), lane offset 240 — r3, PERF.md). The
+    f32 ones-matmul is exact and its VJP (a column-sum) is the same
+    cotangent the broadcast-add produces, so grad parity is unchanged."""
+    b = b.astype(jnp.float32)
+    if not mm:
+        return y + b
+    ones = jnp.ones((y.shape[0], 1), jnp.float32)
+    return y + jax.lax.dot_general(
+        ones, b, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
 def _quant_rows(xf, s):
     """f32 -> int8 rows at static scale s (one round/clip pass)."""
     return jnp.clip(jnp.round(xf * s), -127.0, 127.0).astype(jnp.int8)
@@ -238,7 +257,7 @@ def _body(xf, cdt, nH, scale, T, N, C, fast, bw,
         def proj(lo):
             y = jnp.dot(xn, wqkv_ref[:, lo:lo + C],
                         preferred_element_type=jnp.float32)
-            return y + bqkv_ref[0, lo:lo + C][None].astype(jnp.float32)
+            return _bias_add(y, bqkv_ref[0, lo:lo + C][None], exact_recip)
 
     q = proj(0) if fast else proj(0) * scale
     q = q.astype(cdt).reshape(T, N, C)
@@ -303,7 +322,7 @@ def _body(xf, cdt, nH, scale, T, N, C, fast, bw,
     else:
         y = jnp.dot(acc.reshape(T * N, C).astype(cdt), wproj_ref[...],
                     preferred_element_type=jnp.float32)
-        y = y + bproj_ref[...].astype(jnp.float32)
+        y = _bias_add(y, bproj_ref[...], exact_recip)
 
     if dpf is not None:
         y = y * dpf[0]
@@ -330,14 +349,14 @@ def _body(xf, cdt, nH, scale, T, N, C, fast, bw,
         h2 = h2 + bf2_ref[...].astype(jnp.float32)
         return x1 + (h2 * dpf[1] if dpf is not None else h2)
     h1 = jnp.dot(x1n, w1_ref[...], preferred_element_type=jnp.float32)
-    h1 = h1 + bf1_ref[...].astype(jnp.float32)
+    h1 = _bias_add(h1, bf1_ref[...], exact_recip)
     if fast:
         h1 = jax.nn.gelu(h1, approximate=True).astype(cdt)
     else:
         # exact-GELU via polynomial erf (no erf/erfc primitive in Mosaic)
         h1 = (0.5 * h1 * (1.0 + _erf(h1 * (2.0**-0.5)))).astype(cdt)
     h2 = jnp.dot(h1, w2_ref[...], preferred_element_type=jnp.float32)
-    h2 = h2 + bf2_ref[...].astype(jnp.float32)
+    h2 = _bias_add(h2, bf2_ref[...], exact_recip)
 
     return x1 + (h2 * dpf[1] if dpf is not None else h2)
 
