@@ -47,7 +47,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 from rdst_tpu.kernels.swin_block import (
-    _VMEM_BUDGET,
     _body,
     _pair_vmem_estimate,
     _shift_relayout,
@@ -67,8 +66,16 @@ except ImportError:  # pragma: no cover
 
 # backward holds the vjp residuals of both blocks (scores/exp tensors,
 # K/V stacks, MLP hiddens) plus the transposed-matmul temporaries on
-# top of the forward working set — conservative until Mosaic-measured
-_TRAIN_VMEM_FACTOR = 4.0
+# top of the forward working set. Calibrated against the one hardware
+# measurement we have: at flagship train geometry (9 windows, C=60,
+# nh=6, hidden=120, bf16) Mosaic's bwd stack allocation is 20.6 MiB
+# while _pair_vmem_estimate says 3.42 MiB -> factor 6.0 (the old 4.0
+# under-predicted by ~30%). Admission gates against
+# _TRAIN_VMEM_BUDGET, half the 64 MiB per-kernel compile limit the
+# bwd pallas_call requests below, so a mispredicted geometry still has
+# 2x headroom before Mosaic rejects the program.
+_TRAIN_VMEM_FACTOR = 6.0
+_TRAIN_VMEM_BUDGET = 32 * 2**20
 
 _N_BLOCK_PARAMS = 12  # prep_block_params bundle size
 
@@ -86,13 +93,13 @@ def _pair_ops(xf, cdt, nh, t, n, c, nw, geom, fa, ba, fb, bb,
     y = _body(xf, cdt, nh, 1.0, t, n, c, True, 1,
               fa[0], fa[1], fa[2], fa[3], fa[4], fa[5], fa[6], fa[7],
               fa[8], fa[9], fa[10], fa[11], ba, hmask, segones,
-              exact_recip=True, dpf=dpfa)
+              exact_recip=True, mm_bias=True, dpf=dpfa)
     y2 = _shift_relayout(y.astype(cdt), ipp, nwh, nww, ws, shift)
     z = _body(y2.astype(jnp.float32), cdt, nh, 1.0, t, n, c, True,
               nw if shift else 1,
               fb[0], fb[1], fb[2], fb[3], fb[4], fb[5], fb[6], fb[7],
               fb[8], fb[9], fb[10], fb[11], bb, hmask, segones,
-              exact_recip=True, dpf=dpfb)
+              exact_recip=True, mm_bias=True, dpf=dpfb)
     return z
 
 
@@ -279,7 +286,7 @@ def fused_pair_train_fits(nw: int, n: int, c: int, nh: int, hidden: int,
         return False
     return (_TRAIN_VMEM_FACTOR * _pair_vmem_estimate(nw, n, c, nh, hidden,
                                                      nw, es)
-            <= _VMEM_BUDGET)
+            <= _TRAIN_VMEM_BUDGET)
 
 
 def fused_swin_pair_train(x_windows, params_a, bias_a, params_b, bias_b,
@@ -339,7 +346,7 @@ def _fused_swin_pair_train_impl(x_windows, params_a, bias_a, params_b,
     while ipp > 1 and (
             bnw % (nw * ipp) != 0
             or _TRAIN_VMEM_FACTOR * _pair_vmem_estimate(
-                nw * ipp, n, c, nh, hidden, nw, es) > _VMEM_BUDGET):
+                nw * ipp, n, c, nh, hidden, nw, es) > _TRAIN_VMEM_BUDGET):
         ipp -= 1
     t = nw * ipp
     dt = x_windows.dtype

@@ -207,7 +207,7 @@ def _body(xf, cdt, nH, scale, T, N, C, fast, bw,
           g1_ref, b1_ref, g2_ref, b2_ref,
           w1_ref, bf1_ref, w2_ref, bf2_ref,
           bias_ref, hmask_ref, segones_ref, nseg=1, quant=None,
-          exact_recip=False, dpf=None):
+          exact_recip=False, mm_bias=False, dpf=None):
     """One Swin block body on an in-VMEM (T·N, C) f32 value; returns the
     f32 output. Shared by the single-block and DSTL-pair kernels.
 
@@ -228,6 +228,11 @@ def _body(xf, cdt, nH, scale, T, N, C, fast, bw,
     exact_recip: use exact division for the softmax normalizer instead
     of the approximate reciprocal — the training path (pair_train.py)
     needs a jax-differentiable body, and pl.reciprocal has no VJP rule.
+    mm_bias: lower row-broadcast bias adds as an MXU ones-column
+    matmul (_bias_add's mm flag) — only the pair-train BACKWARD needs
+    this Mosaic-layout workaround; independent of exact_recip so an
+    inference caller can ask for exact division without also switching
+    bias lowering.
     dpf: optional (attn, mlp) stochastic-depth factor columns, each
     (T·N, 1) f32 in {0, 1/keep} (DropPath semantics, nn/layers.py:60),
     applied to the residual branches. Training path only."""
@@ -257,7 +262,7 @@ def _body(xf, cdt, nH, scale, T, N, C, fast, bw,
         def proj(lo):
             y = jnp.dot(xn, wqkv_ref[:, lo:lo + C],
                         preferred_element_type=jnp.float32)
-            return _bias_add(y, bqkv_ref[0, lo:lo + C][None], exact_recip)
+            return _bias_add(y, bqkv_ref[0, lo:lo + C][None], mm_bias)
 
     q = proj(0) if fast else proj(0) * scale
     q = q.astype(cdt).reshape(T, N, C)
@@ -322,7 +327,7 @@ def _body(xf, cdt, nH, scale, T, N, C, fast, bw,
     else:
         y = jnp.dot(acc.reshape(T * N, C).astype(cdt), wproj_ref[...],
                     preferred_element_type=jnp.float32)
-        y = _bias_add(y, bproj_ref[...], exact_recip)
+        y = _bias_add(y, bproj_ref[...], mm_bias)
 
     if dpf is not None:
         y = y * dpf[0]
@@ -349,14 +354,14 @@ def _body(xf, cdt, nH, scale, T, N, C, fast, bw,
         h2 = h2 + bf2_ref[...].astype(jnp.float32)
         return x1 + (h2 * dpf[1] if dpf is not None else h2)
     h1 = jnp.dot(x1n, w1_ref[...], preferred_element_type=jnp.float32)
-    h1 = _bias_add(h1, bf1_ref[...], exact_recip)
+    h1 = _bias_add(h1, bf1_ref[...], mm_bias)
     if fast:
         h1 = jax.nn.gelu(h1, approximate=True).astype(cdt)
     else:
         # exact-GELU via polynomial erf (no erf/erfc primitive in Mosaic)
         h1 = (0.5 * h1 * (1.0 + _erf(h1 * (2.0**-0.5)))).astype(cdt)
     h2 = jnp.dot(h1, w2_ref[...], preferred_element_type=jnp.float32)
-    h2 = _bias_add(h2, bf2_ref[...], exact_recip)
+    h2 = _bias_add(h2, bf2_ref[...], mm_bias)
 
     return x1 + (h2 * dpf[1] if dpf is not None else h2)
 

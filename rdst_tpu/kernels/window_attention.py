@@ -73,10 +73,12 @@ def export_kernel_flags(paras) -> None:
 
 def pallas_train_mode() -> str:
     """Kernel mode for the TRAINING step (forward + backward both run
-    fused — kernels/pair_train.py). '' (default: XLA autodiff) |
-    'pair' (differentiable DSTL-pair kernel; requires the bf16 fast
-    path, i.e. training_dtype='bfloat16'). Off by default until
-    hardware-measured; set via RDST_TPU_PALLAS_TRAIN or the
-    `pallas_train` config key (runners/trainer.py exports it)."""
+    fused — kernels/pair_train.py). '' (XLA autodiff) | 'pair'
+    (differentiable DSTL-pair kernel; requires the bf16 fast path,
+    i.e. training_dtype='bfloat16'). Hardware-measured 2.2x over XLA
+    autodiff at the flagship bf16 geometry (33.9 vs 15.5 steps/s
+    chip-paced, BENCH_EXTRA record 9), so runners/trainer.py defaults
+    it ON for bf16 training; set RDST_TPU_PALLAS_TRAIN or the
+    `pallas_train` config key to override."""
     mode = os.environ.get("RDST_TPU_PALLAS_TRAIN", "")
     return "" if mode in ("0", "false", "off") else mode

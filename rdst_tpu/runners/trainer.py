@@ -98,6 +98,17 @@ class SRTrainer:
         import os as _os
 
         ptk = paras.get("pallas_train")
+        if (ptk is None and self.training_dtype == jnp.bfloat16
+                and "RDST_TPU_PALLAS_TRAIN" not in _os.environ):
+            # default ON for bf16 training since the r4 hardware win
+            # (33.9 vs 15.5 steps/s chip-paced, BENCH_EXTRA record 9;
+            # HBM/step 92 GB -> 11 GB). The kernel self-gates: it only
+            # engages where the geometry fits VMEM and dropout rates
+            # are 0 (nn/swin.py), falling back to XLA autodiff
+            # otherwise, so the default is safe for any config. An
+            # explicit pallas_train config key or env var (even 'off')
+            # still wins.
+            ptk = "pair"
         if ptk is not None:
             ptk = str(ptk).strip().lower()
             if ptk and ptk not in ("none", "0", "false", "off"):
@@ -140,6 +151,9 @@ class SRTrainer:
         self.stall_warn_s = float(paras.get("stall_warn_s", 600) or 0)
         self.stall_abort_s = float(paras.get("stall_abort_s", 0) or 0)
         self._wd_step = -1  # heartbeat: last completed loop iteration
+        # metrics.jsonl per-component cursor: loss.records length already
+        # consumed per (state, component) — see log_metrics
+        self._metrics_consumed: Dict[tuple, int] = {}
 
         self.quick_eva_func = ds_valid.get_quick_eva_func()
         self.final_eva_func = ds_valid.get_final_eva_func()
@@ -849,6 +863,17 @@ class SRTrainer:
             "s_per_epoch": float(
                 np.mean(self.training_epoch_costs[-self.check_every:])),
         }
+        # per-component means over THIS check interval (GAN stability:
+        # 'Adv_D Real' vs 'Adv_D Fake' drifting apart is the collapse
+        # signature the total hides). loss.records accumulates for the
+        # whole run (and across resumes), so diff against the last
+        # consumed length per (state, component).
+        for name, vals in self.loss.records.get(ts, {}).items():
+            pos = self._metrics_consumed.get((ts, name), 0)
+            if len(vals) > pos:
+                rec[f"loss_{name.replace(' ', '_')}"] = float(
+                    np.mean(vals[pos:]))
+                self._metrics_consumed[(ts, name)] = len(vals)
         if self.quick_validation_reports:
             for k, v in self.quick_validation_reports[-1].items():
                 try:

@@ -64,6 +64,9 @@ def test_train_resume_test(e2e_env):
     assert rec["state"] == "WarmUP" and rec["step"] == 4
     assert np.isfinite(rec["loss"]) and rec["s_per_epoch"] > 0
     assert any(k.startswith("eva_psnr") for k in rec)
+    # r4: per-component means ride along (GAN runs get loss_Adv_D etc. —
+    # the D/G stability curves VERDICT asked for; L1-only runs get loss_L1)
+    assert np.isfinite(rec["loss_L1"])
 
     # resume: a fresh trainer restores the completed state and does nothing
     trainer2 = SRTrainer(p, ds_train, ds_valid, seed=0)

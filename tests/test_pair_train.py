@@ -355,3 +355,49 @@ class TestBasicLayerTrainPath:
         g = jax.grad(loss)(params)
         for leaf in jax.tree_util.tree_leaves(g):
             assert np.isfinite(np.asarray(leaf, np.float32)).all()
+
+    def test_bf16_training_defaults_to_pair_kernel(self, tmp_path,
+                                                   monkeypatch):
+        """r4: the pair kernel won on hardware (BENCH_EXTRA record 9:
+        33.9 vs 15.5 steps/s), so bf16 training defaults pallas_train
+        to 'pair' when neither the config key nor the env says
+        otherwise; f32 stays on XLA autodiff, and an explicit off key
+        or env var wins over the default."""
+        import os
+        import pathlib
+
+        from rdst_tpu.config import ParametersLoader
+        from rdst_tpu.data import synthetic
+        from rdst_tpu.data.readers import make_train_valid_datasets
+        from rdst_tpu.runners.trainer import SRTrainer
+
+        data = tmp_path / "OASIS" / "example"
+        synthetic.make_oasis_example(str(data), shape=(40, 48, 24))
+        repo = pathlib.Path(__file__).resolve().parents[1]
+
+        def trainer_with(**keys):
+            p = ParametersLoader(
+                str(repo / "config_files" / "rdst_tiny_oasis_x4.ini"))
+            p.set("data_folder", str(data))
+            p.set("output_dir", str(tmp_path / "outputs"))
+            p.set("multi_threads", 1)
+            for k, v in keys.items():
+                p.set(k, v)
+            ds_train, ds_valid = make_train_valid_datasets(p)
+            return SRTrainer(p, ds_train, ds_valid, seed=0)
+
+        monkeypatch.delenv("RDST_TPU_PALLAS_TRAIN", raising=False)
+        trainer_with(training_dtype="bfloat16")
+        assert os.environ.get("RDST_TPU_PALLAS_TRAIN") == "pair"
+
+        monkeypatch.delenv("RDST_TPU_PALLAS_TRAIN", raising=False)
+        trainer_with()  # f32 default: no kernel
+        assert "RDST_TPU_PALLAS_TRAIN" not in os.environ
+
+        monkeypatch.delenv("RDST_TPU_PALLAS_TRAIN", raising=False)
+        trainer_with(training_dtype="bfloat16", pallas_train="off")
+        assert "RDST_TPU_PALLAS_TRAIN" not in os.environ
+
+        monkeypatch.setenv("RDST_TPU_PALLAS_TRAIN", "0")
+        trainer_with(training_dtype="bfloat16")  # env opt-out respected
+        assert os.environ.get("RDST_TPU_PALLAS_TRAIN") == "0"

@@ -1,0 +1,162 @@
+#!/usr/bin/env python
+"""Serving-path benchmark (VERDICT r3 ask #7): numbers for the
+production claims in REFERENCE_PARITY.md's serving section.
+
+Measures, on the real device, with the committed flagship weights:
+
+1. LiveModel direct predict()    — jit-cached live path, batch 64
+2. ServingBundle predict()       — AOT StableHLO bundle, same workload
+3. HTTP micro-batching server    — 64 concurrent 1-slice clients and
+   8 concurrent 8-slice clients: p50/p99 request latency + aggregate
+   slices/s (the batcher coalesces same-shape requests into single
+   device dispatches)
+4. sr_volume()                   — whole-NIfTI-volume wall clock
+                                   (128 slices through the live path)
+
+All numbers are END-TO-END host-side (numpy in -> numpy out), i.e.
+they include dispatch + transfer. On the axon dev tunnel those cost
+~0.35 s/RPC + ~15 MB/s, which dominates single-request latency — the
+JSON records the raw numbers plus the measured per-dispatch floor so
+pod readers can subtract the tunnel. Output: SERVING_BENCH.json.
+"""
+
+import json
+import os
+import sys
+import tempfile
+import threading
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+LR_HW = (40, 32)
+SCALE = 4.0
+BATCH = 64
+REPS = 8
+
+
+def pctl(xs, q):
+    return float(np.percentile(np.asarray(xs), q))
+
+
+def time_predict(predictor, x, reps=REPS):
+    """Warm once, then time reps sequential predict() calls."""
+    predictor.predict(x, SCALE)
+    dts = []
+    for _ in range(reps):
+        t0 = time.time()
+        y = predictor.predict(x, SCALE)
+        dts.append(time.time() - t0)
+    assert np.isfinite(y).all()
+    n = x.shape[0] if x.ndim >= 3 else 1
+    return {
+        "batch": int(n),
+        "p50_s": round(pctl(dts, 50), 4),
+        "p99_s": round(pctl(dts, 99), 4),
+        "slices_per_s": round(n * len(dts) / sum(dts), 1),
+    }
+
+
+def bench_http(live, x_one, n_clients, slices_each):
+    """n_clients concurrent clients, each posting one (slices_each, H, W)
+    request; per-request latency + aggregate throughput."""
+    from rdst_tpu.serving.client import SRClient
+    from rdst_tpu.serving.server import InferenceServer
+
+    srv = InferenceServer(live, port=0, batch_wait_ms=5.0)
+    srv.start_background()
+    try:
+        url = f"http://127.0.0.1:{srv.port}"
+        cli = SRClient(url)
+        payload = np.repeat(x_one[None] if x_one.ndim == 2 else x_one,
+                            slices_each, axis=0)[:slices_each]
+        cli.predict(payload, SCALE)  # warm (compile + first-exec)
+
+        lat = [None] * n_clients
+
+        def worker(i):
+            c = SRClient(url)
+            t0 = time.time()
+            c.predict(payload, SCALE)
+            lat[i] = time.time() - t0
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(n_clients)]
+        t0 = time.time()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.time() - t0
+        assert all(v is not None for v in lat)
+        return {
+            "clients": n_clients,
+            "slices_per_request": slices_each,
+            "p50_s": round(pctl(lat, 50), 4),
+            "p99_s": round(pctl(lat, 99), 4),
+            "aggregate_slices_per_s": round(
+                n_clients * slices_each / wall, 1),
+        }
+    finally:
+        srv.close()
+
+
+def main():
+    from rdst_tpu.config import ParametersLoader
+    from rdst_tpu.serving.export import LiveModel, ServingBundle, export_bundle
+    from rdst_tpu.serving.volume import sr_volume
+
+    paras = ParametersLoader("config_files/rdst_e1_oasis_x4.ini")
+    paras.set("well_trained_single_scale_model_g",
+              "weights/rdst_e1_40k_best_oasis_x4.msgpack")
+    paras.set("inference_dtype", "bfloat16")
+    paras.set("sr_scales_for_final_testing", [SCALE])
+
+    rng = np.random.default_rng(0)
+    x = rng.random((BATCH,) + LR_HW, dtype=np.float32)
+
+    out = {"lr_hw": list(LR_HW), "scale": SCALE}
+
+    import jax
+
+    out["platform"] = jax.default_backend()
+    # per-dispatch floor: a trivial jitted identity, timed warm — what
+    # the tunnel charges ANY device call before compute/transfer
+    f = jax.jit(lambda a: a + 1.0)
+    z = jax.device_put(np.zeros((8, 8), np.float32))
+    jax.device_get(f(z))
+    t0 = time.time()
+    for _ in range(8):
+        jax.device_get(f(z))
+    out["dispatch_floor_s"] = round((time.time() - t0) / 8, 4)
+
+    live = LiveModel(paras)
+    out["live_batch64"] = time_predict(live, x)
+    out["live_single_slice"] = time_predict(live, x[:1])
+
+    with tempfile.TemporaryDirectory() as td:
+        bdir = os.path.join(td, "bundle")
+        t0 = time.time()
+        export_bundle(paras, bdir, lr_shapes=[LR_HW], scales=[SCALE])
+        out["bundle_export_s"] = round(time.time() - t0, 2)
+        bundle = ServingBundle.load(bdir)
+        out["bundle_batch64"] = time_predict(bundle, x)
+
+    out["http_64x1"] = bench_http(live, x[0], n_clients=64, slices_each=1)
+    out["http_8x8"] = bench_http(live, x[:8], n_clients=8, slices_each=8)
+
+    vol = rng.random(LR_HW + (128,), dtype=np.float32)
+    t0 = time.time()
+    hr = sr_volume(live, vol, SCALE, axis=2)
+    out["volume_128_slices_s"] = round(time.time() - t0, 3)
+    assert hr.shape == (LR_HW[0] * 4, LR_HW[1] * 4, 128)
+
+    with open("SERVING_BENCH.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()
