@@ -30,6 +30,18 @@ published A100 number. Denominator pinned to a principled estimate:
 RDST-E1 at 40x32 is ~15 GFLOPs/slice; an A100 at a generous 30% MFU on
 TF32 (156 TFLOPs peak) sustains ~3.1k slices/s => 4x target = 12,500
 slices/s. vs_baseline = measured / 12_500 (>1.0 beats the target).
+
+Multi-device mode (VERDICT r3 ask #2)
+-------------------------------------
+The same script runs unchanged on a pod: KEY=VALUE overrides select the
+mesh (``python bench.py mesh_shape=[8]`` or any config-file
+mesh_shape/mesh_axes), slices shard over the 'data' axis, the fused
+kernels stay data-local via shard_map (parallel.mesh registry), and the
+output carries BOTH ``value`` (slices/sec/chip — the per-chip headline,
+comparable across mesh sizes) and ``aggregate_slices_per_sec`` with
+``n_devices``. vs_baseline stays per-chip. Virtual-mesh scaling
+evidence (1/2/4/8 devices, collective audit): tools/scaling_bench.py +
+docs/SCALING.md.
 """
 
 import json
@@ -77,6 +89,8 @@ def _arm_watchdog():
 
 def main():
     done = _arm_watchdog()
+    import sys
+
     import jax
     import jax.numpy as jnp
 
@@ -90,6 +104,18 @@ def main():
         dtype = jnp.float32
 
     paras = ParametersLoader("config_files/rdst_e1_oasis_x4.ini")
+    paras.apply_overrides(sys.argv[1:])  # e.g. mesh_shape=[8] on a pod
+    # mesh FIRST: the kernel wrappers read the registry at trace time
+    # (shard_map data-locality — parallel.mesh.set_active_mesh)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from rdst_tpu.parallel import make_mesh_from_paras
+
+    mesh = make_mesh_from_paras(paras)
+    n_data = mesh.shape.get("data", 1)
+    assert SLICES_PER_VOLUME % n_data == 0, (
+        f"data axis {n_data} must divide {SLICES_PER_VOLUME} slices")
+
     model = build_generator(paras, dtype=dtype)
 
     rng = np.random.default_rng(0)
@@ -99,11 +125,6 @@ def main():
     # data loading (untimed): HR volumes resident in HBM, slices sharded
     # over the 'data' mesh axis (no-op on one chip; on a pod each chip
     # evaluates its slice shard and GSPMD keeps everything local)
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    from rdst_tpu.parallel import make_mesh_from_paras
-
-    mesh = make_mesh_from_paras(paras)
     volumes = jax.device_put(
         rng.random((N_DISTINCT_VOLUMES,) + hr_shape, dtype=np.float32),
         NamedSharding(mesh, P(None, "data")))
@@ -133,15 +154,21 @@ def main():
     assert psnr_v.shape == (N_ITERS, SLICES_PER_VOLUME)
     assert np.isfinite(psnr_v).all()
 
-    slices_per_sec = N_ITERS * SLICES_PER_VOLUME / elapsed
+    aggregate = N_ITERS * SLICES_PER_VOLUME / elapsed
+    per_chip = aggregate / n_data
     done.set()
-    print(json.dumps({
+    rec = {
         "metric": "OASIS x4 RDST-E1 inference throughput (SR + on-device PSNR)",
-        "value": round(slices_per_sec, 1),
+        "value": round(per_chip, 1),
         "unit": "slices/sec/chip",
-        "vs_baseline": round(slices_per_sec / TARGET_SLICES_PER_SEC, 3),
+        "vs_baseline": round(per_chip / TARGET_SLICES_PER_SEC, 3),
         "platform": jax.default_backend(),
-    }))
+    }
+    if n_data > 1:  # multi-device mode: aggregate alongside per-chip
+        rec["n_devices"] = n_data
+        rec["mesh_shape"] = dict(mesh.shape)
+        rec["aggregate_slices_per_sec"] = round(aggregate, 1)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

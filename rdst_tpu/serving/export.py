@@ -122,6 +122,18 @@ def build_serving_model(paras):
     scales = [float(s) for s in paras.get("sr_scales_for_final_testing",
                                           paras.test_sr_scales)]
     params = load_well_trained_params(model, paras, path, scales)
+    # the EFFECTIVE kernel mode, i.e. what a trace on this host will
+    # actually contain: pallas_mode() defaults to 'rdstb' with the env
+    # UNSET (so reading the raw env here mislabeled the default as
+    # kernels-off — on a TPU host export then tried to lower Mosaic
+    # custom calls for the 'cpu' platform and died), and the nn/swin
+    # gates additionally require a TPU backend (or interpret mode)
+    from rdst_tpu.kernels.window_attention import (pallas_interpret,
+                                                   pallas_mode)
+
+    effective_kernels = (pallas_mode()
+                         if (jax.default_backend() == "tpu"
+                             or pallas_interpret()) else "")
     meta = {
         "format": _FORMAT,
         "model_name": paras.model_name,
@@ -132,7 +144,7 @@ def build_serving_model(paras):
         "scales": scales,
         "scale_free": bool(paras.scale_free),
         "residual_scale": float(paras.get("residual_scale", 0.0) or 0.0),
-        "pallas_kernels": os.environ.get("RDST_TPU_PALLAS", "") or None,
+        "pallas_kernels": effective_kernels or None,
         "jax_version": jax.__version__,
     }
     return model, params, infer_dtype, meta
@@ -195,14 +207,19 @@ def export_bundle(paras, out_dir: str,
         # entries export first, then ONE env flip for all the twins
         # (the kernel mode gate is read per trace)
         write_all(".shlo", ["tpu"])
-        saved = os.environ.pop("RDST_TPU_PALLAS", None)
+        # kernels off for the portable twin: the env must be an EXPLICIT
+        # "0" — popping it would fall back to the 'rdstb' default
+        saved = os.environ.get("RDST_TPU_PALLAS")
+        os.environ["RDST_TPU_PALLAS"] = "0"
         from rdst_tpu.kernels import clear_kernel_caches
 
         clear_kernel_caches()
         try:
             write_all(".portable.shlo", ["cpu", "tpu"])
         finally:
-            if saved is not None:
+            if saved is None:
+                os.environ.pop("RDST_TPU_PALLAS", None)
+            else:
                 os.environ["RDST_TPU_PALLAS"] = saved
             clear_kernel_caches()
         entries = [{"scale": s, "lr_hw": list(hw),

@@ -139,6 +139,34 @@ def plot_training_records(output_root: str, out_dir: str = None):
             plt.savefig(p)
             plt.close()
             written.append(p)
+    # per-component curves (the checkpoint keeps the full per-step
+    # component records — for GAN states this is the D/G stability
+    # evidence: 'Adv_D Real' vs 'Adv_D Fake' diverging = D collapse,
+    # which the total-loss curve above hides)
+    host_path = join(output_root, "checkpoint", "host_state.json")
+    if exists(host_path):
+        import json as _json
+
+        with open(host_path) as f:
+            comp = _json.load(f).get("loss_records", {})
+        comp = comp.get("records", comp)  # SRLoss.state_dict wrapper
+        for ts, by_name in comp.items():
+            if not isinstance(by_name, dict):
+                continue
+            if not by_name:
+                continue
+            for name, vals in sorted(by_name.items()):
+                plt.plot(np.asarray(vals, np.float64), label=name, lw=0.8)
+            plt.xlabel("recorded step")
+            plt.ylabel("loss component")
+            plt.yscale("log")
+            plt.title(f"{ts} components")
+            plt.legend()
+            plt.grid(True, which="both", alpha=0.3)
+            p = join(out_dir, f"replot_{ts}_components.png")
+            plt.savefig(p)
+            plt.close()
+            written.append(p)
     return written
 
 

@@ -109,12 +109,17 @@ class TestBundle:
         np.testing.assert_allclose(y_small, y_big, atol=1e-5)
 
     def test_kernels_on_export_writes_portable_twin(self, tmp_path, live,
-                                                    rng):
+                                                    rng, monkeypatch):
         """pallas_kernels config -> TPU-only primary entry (Mosaic
         custom calls) + portable XLA twin; a CPU host must load the
-        twin and match the live XLA model."""
+        twin and match the live XLA model. kernels_on keys off the
+        EFFECTIVE trace content (r4 fix: on a TPU host the env-unset
+        DEFAULT is 'rdstb' — the old raw-env read mislabeled it
+        kernels-off and export died lowering Mosaic for 'cpu'), so on
+        this CPU host the test forces interpret mode to engage them."""
         from rdst_tpu.serving import ServingBundle, export_bundle
 
+        monkeypatch.setenv("RDST_TPU_PALLAS_INTERPRET", "1")
         p = _tiny_paras()
         p.set("pallas_kernels", "swin")
         p.set("inference_dtype", "bfloat16")  # kernel gate needs bf16
