@@ -150,6 +150,16 @@ class SRTrainer:
         # last checkpoint.
         self.stall_warn_s = float(paras.get("stall_warn_s", 600) or 0)
         self.stall_abort_s = float(paras.get("stall_abort_s", 0) or 0)
+        # RSS self-watch (failure detection, SURVEY §5.3): a 100k-step
+        # production run was OOM-killed at 130 GB host RSS (the axon
+        # client accumulates per-dispatch state across very long
+        # fast-dispatch runs) — and a SIGKILL can land mid-checkpoint.
+        # When ``rss_restart_gb`` > 0 the watchdog thread flags RSS
+        # above the threshold; the step loop then saves a checkpoint at
+        # the next step boundary and exits 17 so the supervisor
+        # restarts it cleanly (auto-resume, zero interval lost).
+        self.rss_restart_gb = float(paras.get("rss_restart_gb", 0) or 0)
+        self._rss_exceeded = False
         self._wd_step = -1  # heartbeat: last completed loop iteration
         # metrics.jsonl per-component cursor: loss.records length already
         # consumed per (state, component) — see log_metrics
@@ -540,6 +550,16 @@ class SRTrainer:
             if stop is not None:
                 stop.set()
 
+    @staticmethod
+    def _rss_gb() -> float:
+        """Current resident set size in GiB (Linux /proc; 0.0 elsewhere)."""
+        try:
+            with open("/proc/self/statm") as f:
+                pages = int(f.read().split()[1])
+            return pages * os.sysconf("SC_PAGE_SIZE") / 2**30
+        except (OSError, ValueError, IndexError):
+            return 0.0
+
     def _watchdog(self, stop: "threading.Event", warn_s: float,
                   abort_s: float):
         """Log (and optionally abort) when the step loop stops beating."""
@@ -547,6 +567,16 @@ class SRTrainer:
         warned = False
         poll = max(1.0, min(warn_s, 60.0))
         while not stop.wait(poll):
+            if (self.rss_restart_gb > 0 and not self._rss_exceeded
+                    and self._rss_gb() > self.rss_restart_gb):
+                # flag only — the step loop exits at a SAFE boundary
+                # (after a checkpoint), never mid-save like the OOM
+                # killer would
+                self.write_log(
+                    f"WATCHDOG: host RSS {self._rss_gb():.1f} GiB > "
+                    f"rss_restart_gb={self.rss_restart_gb:g} — will "
+                    "checkpoint and exit 17 at the next step boundary")
+                self._rss_exceeded = True
             step, now = self._wd_step, time.monotonic()
             if step != last_step:
                 last_step, last_t, warned = step, now, False
@@ -662,6 +692,18 @@ class SRTrainer:
                             + plog)
                         self.log_metrics(ts)
                     self._wd_step = self.state.step  # watchdog heartbeat
+                    if self._rss_exceeded:
+                        # safe-boundary restart (see rss_restart_gb):
+                        # flush + checkpoint HERE, then exit 17 for the
+                        # supervisor — beats letting the OOM killer
+                        # SIGKILL mid-save
+                        self._flush_scalar_records(pending, ts)
+                        self.save_checkpoint()
+                        self.write_log(
+                            f"RSS restart: checkpoint saved at step "
+                            f"{self.state.step}; exiting 17 for the "
+                            "supervisor to restart (auto-resume)")
+                        os._exit(17)
 
                 self._flush_scalar_records(pending, ts)
             self.save_models(ts)

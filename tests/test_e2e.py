@@ -686,6 +686,48 @@ def test_stall_watchdog(tmp_path, monkeypatch):
     assert log.count("WATCHDOG: aborting") == 1  # only the frozen-probe one
 
 
+def test_rss_restart_guard(tmp_path, monkeypatch):
+    """rss_restart_gb: the watchdog flags RSS above the threshold and the
+    step loop checkpoints + exits 17 at the next step boundary (clean
+    supervisor restart instead of a mid-save OOM SIGKILL — a real 100k
+    production run died exactly that way, r4)."""
+    import pathlib
+
+    from rdst_tpu.data.readers import make_train_valid_datasets
+    from rdst_tpu.runners import trainer as trainer_mod
+    from rdst_tpu.runners.trainer import SRTrainer
+
+    data = tmp_path / "OASIS" / "example"
+    synthetic.make_oasis_example(str(data), shape=(40, 48, 24))
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    # threshold below any real process RSS -> trips on the first poll;
+    # stall_warn_s tiny so the watchdog polls fast (poll = min(warn, 60))
+    p = _tiny_config(repo, tmp_path, data, "RDST_TINY_RSSGUARD",
+                     margin_oasis=[2, 2], stall_warn_s=0.2,
+                     rss_restart_gb=0.001)
+    ds_train, ds_valid = make_train_valid_datasets(p)
+    trainer = SRTrainer(p, ds_train, ds_valid, seed=0)
+    assert trainer.rss_restart_gb == 0.001
+    assert trainer._rss_gb() > 0.001  # Linux /proc backing works
+    trainer.stall_warn_s = 0.2  # keep setup()'s own watchdog quiet
+    exited = {}
+    monkeypatch.setattr(trainer_mod.os, "_exit",
+                        lambda code: (_ for _ in ()).throw(SystemExit(code)))
+    trainer.setup()
+    try:
+        trainer.train()
+        raised = None
+    except SystemExit as e:
+        raised = e.code
+    assert raised == 17
+    out = tmp_path / "outputs" / "RDST_TINY_RSSGUARD_None"
+    log = (out / "training_log.txt").read_text()
+    assert "WATCHDOG: host RSS" in log
+    assert "RSS restart: checkpoint saved" in log
+    # the safe-boundary checkpoint exists -> a supervisor restart resumes
+    assert (out / "checkpoint" / "host_state.json").exists()
+
+
 def test_nonfinite_grad_guard(tmp_path):
     """The step guard must reject non-finite GRADS, not just non-finite
     loss: exactly-constant patches give LayerNorm zero variance, its

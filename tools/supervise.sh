@@ -15,8 +15,9 @@ set -u
 while true; do
   python train.py "$@"
   code=$?
-  if [ "$code" -ne 17 ]; then
-    exit "$code"
-  fi
-  echo "supervise: watchdog abort (17) — restarting from last checkpoint" >&2
+  case "$code" in
+    17)  echo "supervise: watchdog abort (17) — restarting from last checkpoint" >&2 ;;
+    137) echo "supervise: SIGKILLed (137, likely host OOM) — restarting from last checkpoint" >&2 ;;
+    *)   exit "$code" ;;
+  esac
 done
