@@ -4,7 +4,7 @@
 The single entry point for a TPU window: every pending measurement
 lives in tools/pending_measurements.json (checked in), and
 
-    nohup python tools/queue.py > /tmp/tpuq_driver.log 2>&1 &
+    nohup python tools/tpu_queue.py > /tmp/tpuq_driver.log 2>&1 &
 
 runs them in listed (priority) order. Replaces the four overlapping
 tpu_queue*.sh / run_queue.sh scripts of rounds 1-3.
