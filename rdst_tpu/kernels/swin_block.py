@@ -65,6 +65,7 @@ tests/test_kernels.py, selected via RDST_TPU_PALLAS):
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -76,7 +77,21 @@ except ImportError:  # pragma: no cover
     pltpu = None
 
 _EPS = 1e-5  # torch-default LayerNorm epsilon (nn/layers.py)
-_CLAMP = 60.0  # fast-path exp clamp: e^60 is finite, trained scores are O(10)
+_CLAMP = 60.0  # legacy clamp variant only (RDST_TPU_PALLAS_SOFTMAX=clamp)
+
+
+def _softmax_variant() -> str:
+    """Fast-path softmax stabilizer, read at TRACE time.
+
+    '' / 'stable' (default): segment-stable — per-head row-max
+    subtract, exact softmax invariance at any logit magnitude.
+    'clamp': the r1-r3 clamp-only variant (no stabilizer pass, scores
+    clamped at 60). It is faster by roughly one lane-reduce per block
+    but silently flattens attention once trained logits exceed the
+    clamp — the r4 100k-schedule run reached max 227 (40k recipe: 25)
+    and went NaN on hardware. Keep it only for models whose logits are
+    verified bounded."""
+    return os.environ.get("RDST_TPU_PALLAS_SOFTMAX", "")
 
 # int8 quantization (RDST_TPU_PALLAS_QUANT): static activation scale for
 # post-LayerNorm inputs — normalize() output is unit-variance by
@@ -285,7 +300,27 @@ def _body(xf, cdt, nH, scale, T, N, C, fast, bw,
         else:
             s = (s.reshape(T // bw, bw, N, nH * N)
                  + bias_ref[...].astype(jnp.float32)[None]).reshape(T, N, nH * N)
-        e = jnp.exp(jnp.minimum(s, _CLAMP)).astype(cdt)
+        if _softmax_variant() == "clamp":
+            # legacy fast path: no stabilizer, exp clamped at 60. Only
+            # sound while trained logits stay O(10) — the r4 100k run
+            # grew them to 227 (p95 132), where the clamp silently
+            # flattens attention and the chip path went NaN. Opt-in via
+            # RDST_TPU_PALLAS_SOFTMAX=clamp for bounded-logit models.
+            e = jnp.exp(jnp.minimum(s, _CLAMP)).astype(cdt)
+        else:
+            # segment-stable softmax (default): subtract each head
+            # segment's row max before exp — exact softmax invariance,
+            # exp inputs <= 0, denominators in (0, N] so the approx
+            # reciprocal is well-conditioned at ANY logit magnitude.
+            # Lane slices at N-aligned offsets are cheap (the precise
+            # path and the K/V stack build use the same idiom); a lane
+            # SPLIT reshape to (.., nH, N) is not Mosaic-safe here.
+            segs = []
+            for h in range(nH):
+                seg = s[:, :, h * N:(h + 1) * N]
+                mh = jnp.max(seg, axis=-1, keepdims=True)
+                segs.append(jnp.exp(seg - mh))
+            e = jnp.concatenate(segs, axis=-1).astype(cdt)
         den = jax.lax.dot_general(  # per-head softmax denominators
             e, segones_ref[...].astype(cdt), (((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)  # (T, N, nH)

@@ -119,6 +119,57 @@ class TestFusedSwinBlock:
         got = blk.apply(params, x, (h, w))
         assert np.abs(np.asarray(got) - np.asarray(ref)).max() < 2e-5
 
+    @pytest.mark.parametrize("shift", [0, 4])
+    def test_large_logit_stability(self, rng, shift, monkeypatch):
+        """r4 regression: the 100k-schedule run grew attention logits to
+        ~227 (40k recipe: ~25); the legacy clamp-at-60 fast path then
+        silently flattens attention (and went NaN on the chip). The
+        default segment-stable softmax must track the f32 XLA path at
+        ANY logit magnitude. Logits are inflated by scaling the qkv
+        kernel so q·k products land in the 150-300 range."""
+        import jax
+        import jax.numpy as jnp
+
+        from rdst_tpu.nn.swin import SwinTransformerBlock
+
+        b, h, w, c, nh, ws = 2, 16, 16, 12, 3, 8
+        x = jnp.asarray(rng.normal(0, 1, (b, h * w, c)), jnp.float32)
+        blk = SwinTransformerBlock(dim=c, num_heads=nh, window_size=ws,
+                                   shift_size=shift, mlp_ratio=2.0,
+                                   build_resolution=(h, w),
+                                   dtype=jnp.bfloat16)
+        monkeypatch.setenv("RDST_TPU_PALLAS", "0")
+        params = blk.init(jax.random.PRNGKey(0), x, (h, w))
+        qkv = params["params"]["attn"]["qkv"]["kernel"]
+        # logit magnitude grows quadratically in the qkv scale: x9 gives
+        # max|logit| ~2.7, x80 ~210 — the regime the 100k run reached
+        params["params"]["attn"]["qkv"]["kernel"] = qkv * 80.0
+        ref = np.asarray(
+            blk.apply(params, x, (h, w)), np.float32)
+        assert np.isfinite(ref).all()
+
+        from rdst_tpu.kernels import clear_kernel_caches
+
+        monkeypatch.setenv("RDST_TPU_PALLAS", "swin")
+        monkeypatch.setenv("RDST_TPU_PALLAS_INTERPRET", "1")
+        clear_kernel_caches()
+        got = np.asarray(blk.apply(params, x, (h, w)), np.float32)
+        assert np.isfinite(got).all()
+        # bf16 fast path vs bf16 XLA: only rounding noise may remain —
+        # the old clamp variant fails this with O(0.1) attention error
+        err = np.abs(got - ref).max() / max(np.abs(ref).max(), 1e-6)
+        assert err < 0.05, err
+
+        # the opt-in clamp variant demonstrably corrupts at this scale
+        # (documents WHY stable is the default; uses a fresh cache)
+        monkeypatch.setenv("RDST_TPU_PALLAS_SOFTMAX", "clamp")
+        clear_kernel_caches()
+        got_clamp = np.asarray(blk.apply(params, x, (h, w)), np.float32)
+        clamp_err = np.abs(got_clamp - ref).max() / np.abs(ref).max()
+        monkeypatch.delenv("RDST_TPU_PALLAS_SOFTMAX")
+        clear_kernel_caches()
+        assert clamp_err > err  # stable strictly better here
+
     def test_fast_path_folded_weights_parity(self, rng):
         """bf16 fast path (packed attention + LN-affine/scale folds) vs
         the f32 precise path, both in interpret mode. Gates the
