@@ -27,8 +27,9 @@ jax, so autodiff chains gradients from the folded space back to the raw
 checkpoint parameters for free.
 
 Semantics: bf16 fast path of the inference pair kernel (packed-head
-attention, clamped exp, tanh GELU) — the training forward matches the
-production inference forward bit-for-bit except for exact division.
+attention, segment-stable softmax, tanh GELU) — the training forward
+matches the production inference forward bit-for-bit except for exact
+division.
 Parity: tests/test_pair_train.py gates x/param grads against jax.grad
 of the identical math in XLA (interpret mode).
 
