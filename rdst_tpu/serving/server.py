@@ -216,6 +216,37 @@ class InferenceServer:
             (host, port), make_handler(self.batcher, manifest))
         self.port = self.httpd.server_address[1]
 
+    def warmup(self, lr_hw=None, scale=None, channels: int = 1) -> float:
+        """Pre-compile every power-of-two batch bucket so the first
+        concurrent burst hits steady-state batching latency instead of
+        one lazy compile + first-execution per bucket shape (minutes
+        each on a dev tunnel; the r4 serving bench measured a 64-client
+        cold burst at p50 42.8 s against a warm single-digit target).
+
+        Warm points: the explicit ``(lr_hw, scale)`` if given, else
+        every entry of an exported bundle's manifest (bundles know
+        their shapes; live configs don't until a request arrives).
+        Returns seconds spent. Call before accepting traffic."""
+        import time
+
+        if lr_hw is not None:
+            if scale is None:
+                raise ValueError("warmup(lr_hw=...) needs scale=")
+            pts = [(tuple(int(v) for v in lr_hw), float(scale))]
+        else:
+            manifest = getattr(self.batcher.predictor, "manifest", {})
+            pts = [(tuple(e["lr_hw"]), float(e["scale"]))
+                   for e in manifest.get("entries", [])]
+        t0 = time.time()
+        for hw, sc in pts:
+            shape = hw if channels == 1 else hw + (int(channels),)
+            b = 1
+            while b <= self.batcher.max_batch:
+                self.batcher.predictor.predict(
+                    np.zeros((b,) + shape, np.float32), sc)
+                b *= 2
+        return round(time.time() - t0, 2)
+
     def serve_forever(self):
         self.httpd.serve_forever()
 
@@ -247,6 +278,14 @@ def main(argv=None):
                     help="force the jax platform (e.g. 'cpu'; the "
                     "JAX_PLATFORMS env var is ignored when a TPU "
                     "plugin is installed)")
+    ap.add_argument("--warmup", action="store_true",
+                    help="pre-compile every batch bucket for each "
+                    "bundle manifest entry before accepting traffic "
+                    "(steady-state p99 from the first request)")
+    ap.add_argument("--warmup-shape", type=int, nargs=2, metavar=("H", "W"),
+                    default=None,
+                    help="LR shape to warm for a live config (warms "
+                    "every configured scale at this shape)")
     args = ap.parse_args(argv)
 
     if args.platform:
@@ -266,6 +305,14 @@ def main(argv=None):
                               max_batch=args.max_batch)
     srv = InferenceServer(predictor, args.host, args.port,
                           args.max_batch, args.batch_wait_ms)
+    if args.warmup_shape is not None:
+        for sc in predictor.manifest.get("scales", []):
+            dt = srv.warmup(lr_hw=args.warmup_shape, scale=sc)
+            print(f"warmed {tuple(args.warmup_shape)} x{sc} in {dt}s")
+    elif args.warmup:
+        dt = srv.warmup()
+        print(f"warmed {len(predictor.manifest.get('entries', []))} "
+              f"manifest entries in {dt}s")
     print(f"serving {predictor.manifest.get('model_name', '?')} "
           f"on http://{args.host}:{srv.port}")
     try:

@@ -223,6 +223,34 @@ class TestServer:
         failed = [e for e in errs if e is not None]
         assert not failed, failed[:3]
 
+    def test_warmup_buckets(self, server, live, rng):
+        """warmup() pre-compiles every power-of-two bucket for the
+        given (LR shape, scale) — r4: a cold 64-client burst on the
+        hardware bench measured p50 42.8 s of lazy per-bucket compiles.
+        After warmup a mixed-size burst must still return exact
+        per-caller outputs (warmup must not disturb batcher state)."""
+        dt = server.warmup(lr_hw=(24, 28), scale=4.0)
+        assert dt >= 0.0
+        xs = [rng.random((n, 24, 28, 1), dtype=np.float32)
+              for n in (1, 3, 2)]
+        outs = [None] * len(xs)
+
+        def call(i):
+            outs[i] = self._post(server, xs[i])
+
+        threads = [threading.Thread(target=call, args=(i,))
+                   for i in range(len(xs))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        for i, x in enumerate(xs):
+            np.testing.assert_array_equal(outs[i], live.predict(x, 4.0))
+
+    def test_warmup_requires_scale_with_shape(self, server):
+        with pytest.raises(ValueError):
+            server.warmup(lr_hw=(24, 28))
+
     def test_bad_input_is_400(self, server):
         req = urllib.request.Request(
             f"http://127.0.0.1:{server.port}/v1/predict?scale=4",

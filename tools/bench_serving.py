@@ -72,7 +72,11 @@ def bench_http(live, x_one, n_clients, slices_each):
         cli = SRClient(url)
         payload = np.repeat(x_one[None] if x_one.ndim == 2 else x_one,
                             slices_each, axis=0)[:slices_each]
-        cli.predict(payload, SCALE)  # warm (compile + first-exec)
+        # warm EVERY batch bucket: a cold concurrent burst otherwise
+        # measures per-bucket compile + first-exec (p50 42.8 s on the
+        # tunnel), not the batching layer
+        warm_s = srv.warmup(lr_hw=payload.shape[1:3], scale=SCALE)
+        cli.predict(payload, SCALE)  # end-to-end sanity through HTTP
 
         lat = [None] * n_clients
 
@@ -101,6 +105,7 @@ def bench_http(live, x_one, n_clients, slices_each):
         return {
             "clients": n_clients,
             "slices_per_request": slices_each,
+            "bucket_warmup_s": warm_s,
             "failed": n_clients - len(ok),
             "p50_s": round(pctl(ok, 50), 4),
             "p99_s": round(pctl(ok, 99), 4),
