@@ -307,6 +307,24 @@ def _body(xf, cdt, nH, scale, T, N, C, fast, bw,
             # flattens attention and the chip path went NaN. Opt-in via
             # RDST_TPU_PALLAS_SOFTMAX=clamp for bounded-logit models.
             e = jnp.exp(jnp.minimum(s, _CLAMP)).astype(cdt)
+        elif _softmax_variant() == "stable_mm":
+            # MXU-broadcast stabilizer: per-head row maxes gathered to
+            # (T, N, nH), broadcast back across each head's segment by
+            # a thin matmul against the block-diagonal segment-ones
+            # constant (contracting its nH dim), then ONE full-lane
+            # subtract + exp instead of nH small exps + a lane concat.
+            # Softmax invariance holds for ANY per-row constant, so the
+            # bf16 rounding of the max through the MXU is harmless
+            # (exp inputs <= ~bf16-eps * max, no overflow).
+            m = jnp.concatenate(
+                [jnp.max(s[:, :, h * N:(h + 1) * N], axis=-1,
+                         keepdims=True) for h in range(nH)],
+                axis=-1)  # (T, N, nH)
+            mb = jax.lax.dot_general(
+                m.astype(cdt), segones_ref[...].astype(cdt),
+                (((2,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (T, N, nH*N)
+            e = jnp.exp(s - mb).astype(cdt)
         else:
             # segment-stable softmax (default): subtract each head
             # segment's row max before exp — exact softmax invariance,
