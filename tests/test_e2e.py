@@ -838,3 +838,29 @@ def test_metasr_fractional_scale_workflow(tmp_path):
     # 2-epoch toy model here ranks scales arbitrarily)
     assert np.isfinite(stacked["psnr_1.5"]).all()
     assert np.isfinite(stacked["psnr_4.0"]).all()
+
+
+def test_tester_weights_key_precedence():
+    """The tester honors the reference's family weight keys: the r4
+    MetaSR hardware eval passed ``well_trained_model_metasr`` (the key
+    the reference's MetaSRTester reads, meta_sr_tester.py:60) and the
+    tester refused to load. Precedence: explicit single-scale first,
+    then metasr/mdsr family keys, then the per-scale x4 fallback."""
+    from rdst_tpu.runners.tester import SRTester
+
+    class P(dict):
+        def get(self, k, d=None):
+            return dict.get(self, k, d)
+
+    t = object.__new__(SRTester)
+    t.paras = P(well_trained_model_metasr="m.msgpack")
+    assert t._model_path() == "m.msgpack"
+    t.paras = P(well_trained_model_mdsr="d.msgpack")
+    assert t._model_path() == "d.msgpack"
+    t.paras = P(well_trained_single_scale_model_g="g.msgpack",
+                well_trained_model_metasr="m.msgpack")
+    assert t._model_path() == "g.msgpack"
+    t.paras = P(well_trained_model_g_x4="x4.msgpack")
+    assert t._model_path() == "x4.msgpack"
+    t.paras = P()
+    assert not t._model_path()
