@@ -101,7 +101,8 @@ class SRTrainer:
         if (ptk is None and self.training_dtype == jnp.bfloat16
                 and "RDST_TPU_PALLAS_TRAIN" not in _os.environ):
             # default ON for bf16 training since the r4 hardware win
-            # (33.9 vs 15.5 steps/s chip-paced, BENCH_EXTRA record 9;
+            # (26.6 vs 15.5 steps/s chip-paced with the stable softmax,
+            # BENCH_EXTRA record 9; clamp-era measured 33.9;
             # HBM/step 92 GB -> 11 GB). The kernel self-gates: it only
             # engages where the geometry fits VMEM and dropout rates
             # are 0 (nn/swin.py), falling back to XLA autodiff
