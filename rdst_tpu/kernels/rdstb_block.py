@@ -290,7 +290,14 @@ def fused_rdstb_probe(x_size, ws: int, shift: int, c0: int, growth: int,
     optimistic admit on a new config would otherwise die inside Mosaic
     mid-model with no fallback; this makes such geometries fall back to
     the pair/XLA path instead (ADVICE r2). Cached per geometry AND per
-    active quant flag set (the compiled program depends on both)."""
+    active quant flag set (the compiled program depends on both).
+
+    Caveat (axon dev tunnel only): the tunnel defers the real AOT
+    compile past ``.compile()``, so the probe can false-positive there
+    (seen in the r4 ipp sweep: rdstb:2 probed OK then hit a 17.07M
+    Mosaic stack OOM in the full-model compile). The VMEM estimate's
+    stable-softmax term now rejects that geometry up front; on a pod
+    runtime ``.compile()`` is synchronous and the probe is sound."""
     if quant is None:
         quant = quant_flags()
     key = (tuple(x_size), ws, shift, c0, growth, nb, nh, hidden_ratio,

@@ -121,6 +121,14 @@ def _vmem_estimate(t, n, c, nh, hidden, nw, es, fast=False) -> float:
                     + pad(nh * n) * (4 + es)
                     + pad(hidden) * (4 + es)
                     + pad(nh) * 4)
+        if _softmax_variant() != "clamp":
+            # segment-stable softmax (r4 default) keeps one extra
+            # scores-sized buffer live (per-head exp segments + their
+            # lane concat). Measured: E1 mega-kernel at ipp=2 went from
+            # fitting (clamp era) to a 17.07M Mosaic stack OOM against
+            # the 16M scoped limit — this term flips the gate to
+            # reject it (ipp=1, 2721.6 slices/s, still admitted).
+            act += tn * pad(nh * n) * es
         stacks = 2 * t * nh * n * pad(c) * es  # K''/V''
         bias = nw * n * pad(nh * n) * es
         return 0.48 * (act + stacks + weights + bias)
