@@ -19,6 +19,19 @@ import jax
 import jax.numpy as jnp
 
 
+def resolve_model_path(paras) -> Optional[str]:
+    """Well-trained weights path with the reference's key precedence:
+    explicit single-scale first, then the family keys MetaSRTester read
+    (meta_sr_tester.py:48,60), then the per-scale x4 fallback. ONE
+    implementation shared by the tester and the serving layer (an r4
+    review found the two had diverged: MetaSR configs loaded in test.py
+    but not in serve/export)."""
+    return (paras.get("well_trained_single_scale_model_g")
+            or paras.get("well_trained_model_metasr")
+            or paras.get("well_trained_model_mdsr")
+            or paras.get("well_trained_model_g_x4"))
+
+
 def resolve_norm_stats(paras, model_path: Optional[str]) -> Tuple[float, float]:
     """Training-set mean/std for zero_mean/unit_std configs.
 

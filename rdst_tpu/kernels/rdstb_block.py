@@ -38,6 +38,7 @@ from rdst_tpu.kernels.swin_block import (
     _MM_QUANT_SLOTS,
     _VMEM_BUDGET,
     _body,
+    _softmax_variant,
     _head_mask,
     _image_to_windows,
     _layernorm,
@@ -289,8 +290,9 @@ def fused_rdstb_probe(x_size, ws: int, shift: int, c0: int, growth: int,
     live-range factor is calibrated on one measured geometry, so an
     optimistic admit on a new config would otherwise die inside Mosaic
     mid-model with no fallback; this makes such geometries fall back to
-    the pair/XLA path instead (ADVICE r2). Cached per geometry AND per
-    active quant flag set (the compiled program depends on both).
+    the pair/XLA path instead (ADVICE r2). Cached per geometry, active
+    quant flag set AND softmax variant (the compiled program depends
+    on all three).
 
     Caveat (axon dev tunnel only): the tunnel defers the real AOT
     compile past ``.compile()``, so the probe can false-positive there
@@ -300,8 +302,11 @@ def fused_rdstb_probe(x_size, ws: int, shift: int, c0: int, growth: int,
     runtime ``.compile()`` is synchronous and the probe is sound."""
     if quant is None:
         quant = quant_flags()
+    # the softmax variant is part of the compiled program (the stable
+    # default keeps an extra scores buffer live), so a probe admit from
+    # one variant must not be reused under another
     key = (tuple(x_size), ws, shift, c0, growth, nb, nh, hidden_ratio,
-           prenorm, ipp, quant)
+           prenorm, ipp, quant, _softmax_variant())
     if key in _PROBE_CACHE:
         return _PROBE_CACHE[key]
     x, dstls, ck, cb = probe_args(x_size, ws, shift, c0, growth, nb, nh,

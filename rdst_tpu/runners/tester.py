@@ -108,13 +108,9 @@ class SRTester:
         self.log_file = join(self.output_root, "testing_log.txt")
 
     def _model_path(self):
-        # key precedence mirrors the reference's tester surface:
-        # single-scale first, then the family keys MetaSRTester read
-        # (meta_sr_tester.py:48,60), then the per-scale fallback
-        return (self.paras.get("well_trained_single_scale_model_g")
-                or self.paras.get("well_trained_model_metasr")
-                or self.paras.get("well_trained_model_mdsr")
-                or self.paras.get("well_trained_model_g_x4"))
+        from rdst_tpu.checkpoint.loading import resolve_model_path
+
+        return resolve_model_path(self.paras)
 
     def _resolve_norm_stats(self):
         from rdst_tpu.checkpoint.loading import resolve_norm_stats

@@ -101,6 +101,7 @@ def build_serving_model(paras):
     manifest-identity dict (generator name, scales, normalization...).
     """
     from rdst_tpu.checkpoint.loading import (load_well_trained_params,
+                                             resolve_model_path,
                                              resolve_norm_stats)
     from rdst_tpu.kernels.window_attention import export_kernel_flags
     from rdst_tpu.models import build_generator
@@ -109,8 +110,7 @@ def build_serving_model(paras):
     idt = str(paras.get("inference_dtype", "float32")).lower()
     infer_dtype = (jnp.bfloat16 if idt in ("bfloat16", "bf16")
                    else jnp.float32)
-    path = (paras.get("well_trained_single_scale_model_g")
-            or paras.get("well_trained_model_g_x4"))
+    path = resolve_model_path(paras)
     if not path:
         raise ValueError("no well-trained model path configured "
                          "(well_trained_single_scale_model_g)")

@@ -237,14 +237,18 @@ class InferenceServer:
             manifest = getattr(self.batcher.predictor, "manifest", {})
             pts = [(tuple(e["lr_hw"]), float(e["scale"]))
                    for e in manifest.get("entries", [])]
+        mb = self.batcher.max_batch
+        buckets, b = [], 1
+        while b < mb:
+            buckets.append(b)
+            b *= 2
+        buckets.append(mb)  # the capped bucket when mb isn't a pow2
         t0 = time.time()
         for hw, sc in pts:
             shape = hw if channels == 1 else hw + (int(channels),)
-            b = 1
-            while b <= self.batcher.max_batch:
+            for b in buckets:
                 self.batcher.predictor.predict(
                     np.zeros((b,) + shape, np.float32), sc)
-                b *= 2
         return round(time.time() - t0, 2)
 
     def serve_forever(self):

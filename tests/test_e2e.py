@@ -848,19 +848,15 @@ def test_tester_weights_key_precedence():
     then metasr/mdsr family keys, then the per-scale x4 fallback."""
     from rdst_tpu.runners.tester import SRTester
 
-    class P(dict):
-        def get(self, k, d=None):
-            return dict.get(self, k, d)
-
     t = object.__new__(SRTester)
-    t.paras = P(well_trained_model_metasr="m.msgpack")
+    t.paras = dict(well_trained_model_metasr="m.msgpack")
     assert t._model_path() == "m.msgpack"
-    t.paras = P(well_trained_model_mdsr="d.msgpack")
+    t.paras = dict(well_trained_model_mdsr="d.msgpack")
     assert t._model_path() == "d.msgpack"
-    t.paras = P(well_trained_single_scale_model_g="g.msgpack",
-                well_trained_model_metasr="m.msgpack")
+    t.paras = dict(well_trained_single_scale_model_g="g.msgpack",
+                   well_trained_model_metasr="m.msgpack")
     assert t._model_path() == "g.msgpack"
-    t.paras = P(well_trained_model_g_x4="x4.msgpack")
+    t.paras = dict(well_trained_model_g_x4="x4.msgpack")
     assert t._model_path() == "x4.msgpack"
-    t.paras = P()
+    t.paras = {}
     assert not t._model_path()

@@ -58,11 +58,16 @@ def main():
             p = serialization.from_bytes(p0, f.read())
         y = np.asarray(jax.device_get(jax.jit(m.apply)(p, x)), np.float32)
         results[tag] = y
-        rec = {"nonfinite": int((~np.isfinite(y)).sum()), "size": y.size,
-               "max_abs": float(np.abs(y[np.isfinite(y)]).max())}
+        fin = np.isfinite(y)
+        rec = {"nonfinite": int((~fin).sum()), "size": y.size,
+               "max_abs": float(np.abs(y[fin]).max()) if fin.any() else None}
         if "f32_xla" in results and tag != "f32_xla":
             d = np.abs(y - results["f32_xla"])
-            rec["maxdiff_vs_f32"] = float(d[np.isfinite(d)].max())
+            dfin = np.isfinite(d)
+            # all-NaN outputs are the very scenario under diagnosis —
+            # record None instead of crashing on an empty reduction
+            rec["maxdiff_vs_f32"] = (float(d[dfin].max())
+                                     if dfin.any() else None)
         print(tag, rec, flush=True)
         return rec
 
