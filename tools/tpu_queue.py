@@ -78,6 +78,11 @@ def main():
         return
 
     os.chdir(ROOT)
+    # data/ is wiped between rounds; regenerate missing corpora before
+    # burning chip time on steps that would FileNotFoundError at startup.
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import ensure_fixtures
+    ensure_fixtures.ensure()
     for s in steps:
         name = s["name"]
         if args.only is not None and name not in args.only:
