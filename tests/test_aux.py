@@ -310,3 +310,59 @@ def test_flops_cli_json(capsys):
     assert out["params"] > 1e5
     assert out["grad_flops"] > out["forward_flops"] > 1e8
     assert out["forward_bytes"] > 0
+
+
+class TestEnsureFixtures:
+    """tools/ensure_fixtures.py: the queue preflight that regenerates
+    wiped data corpora (data/ is gitignored; a missing corpus burned a
+    hardware window on 2026-08-19 before this existed)."""
+
+    def _mod(self):
+        import importlib.util
+        import os
+        path = os.path.join(os.path.dirname(__file__), "..", "tools",
+                            "ensure_fixtures.py")
+        spec = importlib.util.spec_from_file_location("ensure_fixtures", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def test_corpus_table_covers_every_config(self):
+        # every data_folder referenced by a shipped .ini must have a
+        # regeneration recipe, or a fresh checkout can't train it
+        import configparser
+        import glob
+        import os
+        mod = self._mod()
+        roots = set(mod.CORPORA)
+        for ini in glob.glob(os.path.join(os.path.dirname(__file__), "..",
+                                          "config_files", "*.ini")):
+            cp = configparser.ConfigParser()
+            cp.read(ini)
+            folder = cp["DEFAULT"].get("data_folder", "").strip("'\"")
+            if folder:
+                rel = os.path.normpath(folder)
+                assert rel in roots, f"{ini}: {rel} missing from CORPORA"
+
+    def test_present_corpora_not_regenerated(self, tmp_path, monkeypatch):
+        import subprocess
+        mod = self._mod()
+        (tmp_path / "data" / "X" / "p1").mkdir(parents=True)
+        monkeypatch.setattr(mod, "ROOT", str(tmp_path))
+        monkeypatch.setattr(mod, "CORPORA", {"data/X": ["--dataset", "oasis"]})
+        calls = []
+        monkeypatch.setattr(subprocess, "run",
+                            lambda *a, **k: calls.append(a))
+        assert mod.ensure() == []
+        assert calls == []
+
+    def test_missing_corpus_triggers_regeneration(self, tmp_path, monkeypatch):
+        import subprocess
+        mod = self._mod()
+        monkeypatch.setattr(mod, "ROOT", str(tmp_path))
+        monkeypatch.setattr(mod, "CORPORA", {"data/X": ["--dataset", "oasis"]})
+        calls = []
+        monkeypatch.setattr(subprocess, "run",
+                            lambda cmd, **k: calls.append(cmd))
+        assert mod.ensure() == ["data/X"]
+        assert len(calls) == 1 and "--root" in calls[0]
