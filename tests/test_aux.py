@@ -340,14 +340,17 @@ class TestEnsureFixtures:
             cp = configparser.ConfigParser()
             cp.read(ini)
             folder = cp["DEFAULT"].get("data_folder", "").strip("'\"")
-            if folder:
-                rel = os.path.normpath(folder)
-                assert rel in roots, f"{ini}: {rel} missing from CORPORA"
+            # a missing/misplaced data_folder must fail here, not make
+            # the coverage check vacuous for that config (advisor r4)
+            assert folder, f"{ini}: no data_folder in [DEFAULT]"
+            rel = os.path.normpath(folder)
+            assert rel in roots, f"{ini}: {rel} missing from CORPORA"
 
     def test_present_corpora_not_regenerated(self, tmp_path, monkeypatch):
         import subprocess
         mod = self._mod()
         (tmp_path / "data" / "X" / "p1").mkdir(parents=True)
+        (tmp_path / "data" / "X" / mod.MARKER).write_text("ok\n")
         monkeypatch.setattr(mod, "ROOT", str(tmp_path))
         monkeypatch.setattr(mod, "CORPORA", {"data/X": ["--dataset", "oasis"]})
         calls = []
@@ -366,3 +369,96 @@ class TestEnsureFixtures:
                             lambda cmd, **k: calls.append(cmd))
         assert mod.ensure() == ["data/X"]
         assert len(calls) == 1 and "--root" in calls[0]
+        # a clean generator run stamps the completion marker
+        assert (tmp_path / "data" / "X" / mod.MARKER).exists()
+
+    def test_partial_corpus_regenerated(self, tmp_path, monkeypatch):
+        # non-empty dir WITHOUT the completion marker == a generator
+        # that was killed mid-run; it must be regenerated (advisor r4)
+        import subprocess
+        mod = self._mod()
+        (tmp_path / "data" / "X" / "p1").mkdir(parents=True)
+        monkeypatch.setattr(mod, "ROOT", str(tmp_path))
+        monkeypatch.setattr(mod, "CORPORA", {"data/X": ["--dataset", "oasis"]})
+        calls = []
+        monkeypatch.setattr(subprocess, "run",
+                            lambda cmd, **k: calls.append(cmd))
+        assert mod.ensure() == ["data/X"]
+        assert len(calls) == 1
+
+    def test_cli_only_filter_normalizes_and_rejects(self):
+        import pytest as _pytest
+        mod = self._mod()
+        # trailing slash / ./ prefix normalize onto the CORPORA key
+        assert mod._normalize_only(["./data/OASIS/example/"]) == [
+            "data/OASIS/example"]
+        with _pytest.raises(SystemExit):
+            mod._normalize_only(["data/NOPE"])
+
+
+class TestTpuQueue:
+    """tools/tpu_queue.py step execution: the r4 w96_100k postmortem.
+
+    subprocess.run(timeout=...) only killed the direct child
+    (supervise.sh), orphaning `python train.py` — which kept the single
+    TPU attached so the restart died in 2.7 s at device init, and the
+    FAIL state carried no diagnosis. Steps now run in their own process
+    group, timeouts kill the WHOLE group, and non-PASS states record the
+    log tail."""
+
+    def _mod(self):
+        import importlib.util
+        import os
+        path = os.path.join(os.path.dirname(__file__), "..", "tools",
+                            "tpu_queue.py")
+        spec = importlib.util.spec_from_file_location("tpu_queue", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def test_timeout_kills_grandchildren(self, tmp_path):
+        import os
+        import time
+        mod = self._mod()
+        pidfile = tmp_path / "grandchild.pid"
+        # bash (child) spawns sleep (grandchild) — the supervise.sh /
+        # train.py shape. Old code killed only bash; sleep survived.
+        step = {"name": "orphan", "timeout_s": 2,
+                "cmd": ["bash", "-c",
+                        f"sleep 300 & echo $! > {pidfile}; wait"]}
+        state = {}
+        mod.run_steps([step], state, log_dir=str(tmp_path))
+        assert state["orphan"]["status"] == "TIMEOUT"
+        pid = int(pidfile.read_text())
+        for _ in range(50):  # allow init to reap the killed orphan
+            try:
+                os.kill(pid, 0)
+            except ProcessLookupError:
+                break
+            time.sleep(0.1)
+        else:
+            os.kill(pid, 9)
+            raise AssertionError(f"grandchild {pid} survived the timeout")
+
+    def test_failure_records_log_tail(self, tmp_path):
+        mod = self._mod()
+        step = {"name": "boom", "timeout_s": 10,
+                "cmd": ["bash", "-c", "echo the-diagnosis; exit 3"]}
+        state = {}
+        mod.run_steps([step], state, log_dir=str(tmp_path))
+        assert state["boom"]["status"] == "FAIL"
+        assert state["boom"]["rc"] == 3
+        assert any("the-diagnosis" in ln for ln in state["boom"]["tail"])
+
+    def test_pass_skips_and_needs_block(self, tmp_path):
+        mod = self._mod()
+        steps = [
+            {"name": "a", "timeout_s": 10, "cmd": ["false"]},
+            {"name": "b", "timeout_s": 10, "cmd": ["true"], "needs": ["a"]},
+            {"name": "c", "timeout_s": 10, "cmd": ["true"]},
+        ]
+        state = {"c": {"status": "PASS", "finished": "earlier"}}
+        mod.run_steps(steps, state, log_dir=str(tmp_path))
+        assert state["a"]["status"] == "FAIL"
+        assert "b" not in state          # blocked on a's failure
+        assert state["c"]["finished"] == "earlier"  # not re-run

@@ -27,24 +27,47 @@ CORPORA = {
 }
 
 
+# Written into a corpus root only after its generator exits cleanly; a
+# non-empty directory without it is a partial corpus (generator killed
+# mid-run) and gets regenerated — presence-by-non-emptiness let exactly
+# that case slip through (advisor r4).
+MARKER = ".fixtures_complete"
+
+
 def ensure(only=None):
     made = []
     for rel, args in CORPORA.items():
         if only and rel not in only:
             continue
         root = os.path.join(ROOT, rel)
-        # non-empty directory == present (generator writes per-patient dirs)
-        if os.path.isdir(root) and os.listdir(root):
+        if os.path.exists(os.path.join(root, MARKER)):
             continue
         cmd = [sys.executable, "-m", "rdst_tpu.data.synthetic",
                "--root", rel] + args
         print(f"[ensure_fixtures] regenerating {rel}", flush=True)
         subprocess.run(cmd, cwd=ROOT, check=True)
+        os.makedirs(root, exist_ok=True)
+        with open(os.path.join(root, MARKER), "w") as f:
+            f.write(" ".join(args) + "\n")
         made.append(rel)
     return made
 
 
+def _normalize_only(argv):
+    """Map CLI corpus names onto CORPORA keys; unknown names are an
+    error, not a silent no-op (advisor r4: './data/X/' matched nothing)."""
+    sel = []
+    for a in argv:
+        key = os.path.normpath(a)
+        if key not in CORPORA:
+            raise SystemExit(
+                f"[ensure_fixtures] unknown corpus {a!r} "
+                f"(choose from: {', '.join(CORPORA)})")
+        sel.append(key)
+    return sel
+
+
 if __name__ == "__main__":
-    made = ensure(only=sys.argv[1:] or None)
+    made = ensure(only=_normalize_only(sys.argv[1:]) or None)
     print(f"[ensure_fixtures] regenerated {len(made)} corpora"
           + (f": {', '.join(made)}" if made else " (all present)"))

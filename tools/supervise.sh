@@ -12,6 +12,9 @@
 #        (pass stall_abort_s via the config or a KEY=VALUE override,
 #         e.g. stall_abort_s=1800)
 set -u
+# When the queue kills our process group (tpu_queue.py timeout path),
+# both we and the trainer receive the signal; never restart after one.
+trap 'exit 143' TERM INT
 while true; do
   python train.py "$@"
   code=$?

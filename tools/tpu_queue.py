@@ -10,8 +10,18 @@ runs them in listed (priority) order. Replaces the four overlapping
 tpu_queue*.sh / run_queue.sh scripts of rounds 1-3.
 
 Semantics:
-  * each step runs under its own timeout; a failing step logs and the
-    queue moves on (steps are independent unless `needs` says otherwise)
+  * each step runs under its own timeout IN ITS OWN PROCESS GROUP; on
+    timeout (or any queue-side kill) the WHOLE group is killed, not just
+    the direct child. This is the round-4 w96_100k postmortem fix:
+    `subprocess.run(timeout=...)` only kills the immediate child
+    (tools/supervise.sh), orphaning the `python train.py` grandchild —
+    which kept the single TPU attached, so the next attempt died in
+    2.7 s at device init with rc 1 while the orphan kept writing healthy
+    progress into the truncated log.
+  * a failing step logs and the queue moves on (steps are independent
+    unless `needs` says otherwise); FAIL/TIMEOUT states carry the last
+    lines of the step log so a silent `status: FAIL` can't hide a
+    diagnosis again.
   * per-step logs land in /tmp/tpuq_<name>.log
   * completion state persists in tools/queue_state.json: re-running the
     queue skips steps that already PASSed, so an interrupted window
@@ -30,6 +40,7 @@ Step schema (pending_measurements.json):
 import argparse
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
@@ -54,6 +65,96 @@ def save_state(state):
 def stamp(msg):
     print(f"=== [{time.strftime('%H:%M:%S', time.gmtime())}] {msg}",
           flush=True)
+
+
+def _kill_group(proc, grace_s=10.0):
+    """SIGTERM the step's whole process group, then SIGKILL stragglers.
+
+    Children run with start_new_session=True so the group id == the
+    child pid; killing the group reaches grandchildren (train.py under
+    supervise.sh) that a plain proc.kill() would orphan on the chip.
+    """
+    for sig, wait in ((signal.SIGTERM, grace_s), (signal.SIGKILL, 5.0)):
+        try:
+            os.killpg(proc.pid, sig)
+        except ProcessLookupError:
+            return
+        try:
+            proc.wait(timeout=wait)
+            return
+        except subprocess.TimeoutExpired:
+            continue
+    proc.wait()
+
+
+def log_tail(path, n=8):
+    try:
+        with open(path, "rb") as f:
+            f.seek(0, os.SEEK_END)
+            f.seek(max(0, f.tell() - 8192))
+            lines = f.read().decode("utf-8", "replace").splitlines()
+        return [ln for ln in lines if ln.strip()][-n:]
+    except OSError:
+        return []
+
+
+def run_step(step, log_path):
+    """Run one step in its own process group; returns (rc, status)."""
+    with open(log_path, "w") as lf:
+        proc = subprocess.Popen(
+            step["cmd"], stdout=lf, stderr=subprocess.STDOUT,
+            start_new_session=True)
+        try:
+            rc = proc.wait(timeout=step["timeout_s"])
+            status = "PASS" if rc == 0 else "FAIL"
+        except subprocess.TimeoutExpired:
+            _kill_group(proc)
+            rc, status = -1, "TIMEOUT"
+        except BaseException:          # queue itself killed/interrupted
+            _kill_group(proc)
+            raise
+        finally:
+            # Whatever happened, never leave the group running: an
+            # orphaned trainer holds the single TPU and every later
+            # step dies at device init (r4 w96_100k failure mode).
+            _kill_group(proc, grace_s=2.0)
+    return rc, status
+
+
+def run_steps(steps, state, only=None, skip=(), force=False,
+              log_dir="/tmp", save=lambda st: None):
+    for s in steps:
+        name = s["name"]
+        if only is not None and name not in only:
+            continue
+        if name in skip:
+            continue
+        prev = state.get(name, {})
+        if prev.get("status") == "PASS" and not force:
+            stamp(f"{name} SKIP (already PASS at {prev.get('finished')})")
+            continue
+        missing = [d for d in s.get("needs", [])
+                   if state.get(d, {}).get("status") != "PASS"]
+        if missing:
+            stamp(f"{name} BLOCKED (needs {missing})")
+            continue
+        log = os.path.join(log_dir, f"tpuq_{name}.log")
+        stamp(f"{name} START -> {log}")
+        t0 = time.time()
+        rc, status = run_step(s, log)
+        state[name] = {
+            "status": status, "rc": rc,
+            "wall_s": round(time.time() - t0, 1),
+            "finished": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "log": log,
+        }
+        if status != "PASS":
+            state[name]["tail"] = log_tail(log)
+        save(state)
+        stamp(f"{name} {status} rc={rc} ({state[name]['wall_s']}s)")
+        if status != "PASS":
+            for ln in state[name]["tail"]:
+                stamp(f"  | {ln}")
 
 
 def main():
@@ -83,40 +184,8 @@ def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import ensure_fixtures
     ensure_fixtures.ensure()
-    for s in steps:
-        name = s["name"]
-        if args.only is not None and name not in args.only:
-            continue
-        if name in args.skip:
-            continue
-        prev = state.get(name, {})
-        if prev.get("status") == "PASS" and not args.force:
-            stamp(f"{name} SKIP (already PASS at {prev.get('finished')})")
-            continue
-        missing = [d for d in s.get("needs", [])
-                   if state.get(d, {}).get("status") != "PASS"]
-        if missing:
-            stamp(f"{name} BLOCKED (needs {missing})")
-            continue
-        log = f"/tmp/tpuq_{name}.log"
-        stamp(f"{name} START -> {log}")
-        t0 = time.time()
-        try:
-            with open(log, "w") as lf:
-                rc = subprocess.run(
-                    s["cmd"], stdout=lf, stderr=subprocess.STDOUT,
-                    timeout=s["timeout_s"]).returncode
-            status = "PASS" if rc == 0 else "FAIL"
-        except subprocess.TimeoutExpired:
-            rc, status = -1, "TIMEOUT"
-        state[name] = {
-            "status": status, "rc": rc,
-            "wall_s": round(time.time() - t0, 1),
-            "finished": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-            "log": log,
-        }
-        save_state(state)
-        stamp(f"{name} {status} rc={rc} ({state[name]['wall_s']}s)")
+    run_steps(steps, state, only=args.only, skip=args.skip,
+              force=args.force, save=save_state)
     stamp("queue complete")
 
 
