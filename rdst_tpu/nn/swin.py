@@ -18,6 +18,7 @@ TPU-first re-design of the reference Swin foundation
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -190,6 +191,15 @@ class WindowAttention(nn.Module):
             attn = attn.reshape(b_ // nw, nw, self.num_heads, n, n)
             attn = attn + mask[None, :, None].astype(attn.dtype)
             attn = attn.reshape(-1, self.num_heads, n, n)
+        if os.environ.get("RDST_TPU_LOGIT_AUDIT"):
+            # logit audit (trace-time gate): sow this layer's max
+            # attention logit — the statistic pallas_softmax='auto'
+            # judges the clamp variant against (kernels/logit_audit.py;
+            # masked positions sit at ~-100 and never win the max)
+            self.sow("intermediates", "attn_logit_max",
+                     jnp.max(attn).astype(jnp.float32),
+                     init_fn=lambda: jnp.float32(-jnp.inf),
+                     reduce_fn=jnp.maximum)
         attn = jax.nn.softmax(attn, axis=-1)
         attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
         y = (attn @ v).transpose(0, 2, 1, 3).reshape(b_, n, c)
@@ -254,6 +264,34 @@ class SwinTransformerBlock(nn.Module):
             return self._fused_block(x, (h, w), ws, shift,
                                      interpret=wa.pallas_interpret())
 
+        # differentiable SINGLE-block kernel in the TRAINING step
+        # (kernels/block_train.py): engages when pallas_train is on but
+        # the DSTL-pair kernel self-gated OFF upstream (BasicLayer takes
+        # pairs first when they fit) — i.e. big-C geometries like
+        # SwinIR-std C=180 where the pair's backward working set exceeds
+        # VMEM, or odd depths. Window-chunked grids admit any C.
+        # 'block' forces single-block granularity even where pairs fit
+        # (A/B measurement).
+        from rdst_tpu.kernels.block_train import fused_block_train_fits
+
+        use_fused_train = (
+            not deterministic
+            and wa.pallas_train_mode() in ("pair", "block")
+            and self.layer_norm and self.qk_scale is None
+            and self.drop == 0.0 and self.attn_drop == 0.0
+            and c % self.num_heads == 0
+            and h % ws == 0 and w % ws == 0
+            and fused_block_train_fits(
+                (h // ws) * (w // ws), ws * ws, c, self.num_heads,
+                int(self.dim * self.mlp_ratio),
+                jnp.dtype(self.dtype).itemsize)
+            and (jax.default_backend() == "tpu" or wa.pallas_interpret())
+        )
+        if use_fused_train:
+            return self._fused_block(x, (h, w), ws, shift,
+                                     interpret=wa.pallas_interpret(),
+                                     train=True)
+
         shortcut = x
         if self.layer_norm:
             x = LayerNorm(dtype=self.dtype, name="norm1")(x)
@@ -285,6 +323,20 @@ class SwinTransformerBlock(nn.Module):
         y = Mlp(hidden_features=int(self.dim * self.mlp_ratio), drop=self.drop,
                 dtype=self.dtype, name="mlp")(xn, deterministic)
         return x + drop_path(y, deterministic)
+
+    def _block_dp_cols(self, b: int, rows_per_image: int):
+        """(B·nW·N, 2) stochastic-depth factor columns [attn, mlp] for
+        THIS block — the in-kernel equivalent of two independent
+        DropPath draws (nn/layers.py:60: per-sample bernoulli(keep),
+        kept branches scaled 1/keep). None at rate 0."""
+        if not self.drop_path:
+            return None
+        keep = 1.0 - self.drop_path
+        cols = []
+        for _ in range(2):
+            m = jax.random.bernoulli(self.make_rng("droppath"), keep, (b,))
+            cols.append(jnp.where(m, 1.0 / keep, 0.0))
+        return jnp.repeat(jnp.stack(cols, -1), rows_per_image, axis=0)
 
     def _kernel_inputs(self, x_size, ws: int, shift: int):
         """Declare this block's parameter tree (checkpoint-identical to
@@ -324,18 +376,21 @@ class SwinTransformerBlock(nn.Module):
         return params, bias.astype(dt)
 
     def _fused_block(self, x, x_size, ws: int, shift: int, *,
-                     interpret: bool = False):
-        """Fused-kernel inference path: the whole block body runs in one
-        Pallas kernel on window-layout tokens (kernels/swin_block.py);
-        XLA keeps only roll/partition/reverse. Declares the exact same
-        parameter tree as the XLA path (checkpoint-compatible)."""
+                     interpret: bool = False, train: bool = False):
+        """Fused-kernel path: the whole block body runs in one Pallas
+        kernel on window-layout tokens (kernels/swin_block.py; with
+        train=True the differentiable custom_vjp twin,
+        kernels/block_train.py — forward AND backward fused); XLA keeps
+        only roll/partition/reverse. Declares the exact same parameter
+        tree as the XLA path (checkpoint-compatible)."""
         from rdst_tpu.kernels.swin_block import fused_swin_block
 
         h, w = x_size
         b, l, c = x.shape
         dt = self.dtype
+        params, bias = self._kernel_inputs(x_size, ws, shift)
         (wqkv, bqkv, wproj, bproj, gamma1, beta1, gamma2, beta2,
-         w1, bf1, w2, bf2), bias = self._kernel_inputs(x_size, ws, shift)
+         w1, bf1, w2, bf2) = params
         nw = (h // ws) * (w // ws)
 
         xi = x.reshape(b, h, w, c)
@@ -348,6 +403,18 @@ class SwinTransformerBlock(nn.Module):
         from rdst_tpu.kernels import window_attention as wa
 
         ipp = int(os.environ.get("RDST_TPU_PALLAS_IPP", "2"))
+        if train:
+            from rdst_tpu.kernels.block_train import fused_swin_block_train
+
+            y = fused_swin_block_train(
+                x_windows.astype(dt), params, bias,
+                self._block_dp_cols(b, nw * ws * ws),
+                num_heads=self.num_heads, windows_per_image=nw,
+                images_per_program=ipp, interpret=interpret)
+            y = window_reverse(y.reshape(-1, ws, ws, c), ws, h, w)
+            if shift > 0:
+                y = jnp.roll(y, (shift, shift), axis=(1, 2))
+            return y.reshape(b, l, c)
         # 'pack' mode: narrow-channel blocks (2C fits one 128-lane tile)
         # run two windows per lane row for ~2x VPU/MXU fill
         pack = 2 if (wa.pallas_mode() == "pack" and c <= 64) else 1
