@@ -32,27 +32,57 @@ def resolve_model_path(paras) -> Optional[str]:
             or paras.get("well_trained_model_g_x4"))
 
 
+def read_stats_sidecar(model_path: Optional[str]) -> Optional[dict]:
+    """The ``<snapshot>.stats.json`` sidecar the trainer writes next to
+    every msgpack: normalization stats plus (since r5) the audited
+    ``attn_logit_max`` stamp. None when absent."""
+    if not model_path:
+        return None
+    import json
+
+    sidecar = os.path.splitext(model_path)[0] + ".stats.json"
+    if not exists(sidecar):
+        return None
+    with open(sidecar) as f:
+        return json.load(f)
+
+
 def resolve_norm_stats(paras, model_path: Optional[str]) -> Tuple[float, float]:
     """Training-set mean/std for zero_mean/unit_std configs.
 
-    Prefer the ``<snapshot>.stats.json`` sidecar the trainer writes next
-    to every msgpack (the snapshot is then self-contained, like the
-    reference's in-checkpoint MeanShift, networks/common.py:151-167);
+    Prefer the stats sidecar (the snapshot is then self-contained, like
+    the reference's in-checkpoint MeanShift, networks/common.py:151-167);
     fall back to recomputing from the training volumes only when no
     sidecar exists (old snapshots).
     """
-    if model_path:
-        import json
-
-        sidecar = os.path.splitext(model_path)[0] + ".stats.json"
-        if exists(sidecar):
-            with open(sidecar) as f:
-                stats = json.load(f)
-            return stats["mean"], stats["std"]
+    stats = read_stats_sidecar(model_path)
+    if stats is not None and "mean" in stats:
+        return stats["mean"], stats["std"]
     from rdst_tpu.data.readers import make_train_valid_datasets
 
     ds_train, _ = make_train_valid_datasets(paras)
     return ds_train.mean, ds_train.std
+
+
+def resolve_pallas_softmax(model_path: Optional[str]) -> str:
+    """Resolve ``pallas_softmax='auto'`` against the checkpoint's
+    audited logit bound, BEFORE the first trace (trace-time env gate).
+
+    Call after ``export_kernel_flags`` once the weight path is known
+    (tester, serving export, bench). No-op unless the env says 'auto'.
+    Policy lives in kernels.swin_block.resolve_softmax_auto: clamp only
+    when ``attn_logit_max`` is stamped and clears the safety margin;
+    unstamped checkpoints get the exact stable softmax.
+    """
+    mode = os.environ.get("RDST_TPU_PALLAS_SOFTMAX", "")
+    if mode != "auto":
+        return mode
+    from rdst_tpu.kernels.swin_block import resolve_softmax_auto
+
+    stats = read_stats_sidecar(model_path) or {}
+    resolved = resolve_softmax_auto(stats.get("attn_logit_max"))
+    os.environ["RDST_TPU_PALLAS_SOFTMAX"] = resolved
+    return resolved
 
 
 def init_param_template(model, paras, sr_scales: Sequence[float]):

@@ -77,7 +77,15 @@ except ImportError:  # pragma: no cover
     pltpu = None
 
 _EPS = 1e-5  # torch-default LayerNorm epsilon (nn/layers.py)
-_CLAMP = 60.0  # legacy clamp variant only (RDST_TPU_PALLAS_SOFTMAX=clamp)
+_CLAMP = 60.0  # clamp variant (RDST_TPU_PALLAS_SOFTMAX=clamp, or 'auto'
+#                when the checkpoint's audited logit bound clears the margin)
+
+# 'auto' picks clamp only when the checkpoint's stamped attn_logit_max
+# clears this margin — 20 below the 60 clamp, absorbing input variation
+# beyond the audited validation set and (during training) logit growth
+# between quick-eva probes (the r4 100k run grew 25 -> 227 over 100k
+# steps, ~0.002/step; probes run every check_every=2500 steps).
+AUTO_CLAMP_MARGIN = 40.0
 
 
 def _softmax_variant() -> str:
@@ -90,8 +98,25 @@ def _softmax_variant() -> str:
     but silently flattens attention once trained logits exceed the
     clamp — the r4 100k-schedule run reached max 227 (40k recipe: 25)
     and went NaN on hardware. Keep it only for models whose logits are
-    verified bounded."""
-    return os.environ.get("RDST_TPU_PALLAS_SOFTMAX", "")
+    verified bounded.
+    'auto': resolved to clamp/stable by the weight-loading layer
+    (checkpoint.loading.resolve_pallas_softmax) against the audited
+    attn_logit_max stamp in the snapshot's stats sidecar, BEFORE the
+    first trace. If it reaches a trace unresolved (no loader in the
+    path), fail safe to stable."""
+    v = os.environ.get("RDST_TPU_PALLAS_SOFTMAX", "")
+    return "" if v == "auto" else v
+
+
+def resolve_softmax_auto(attn_logit_max) -> str:
+    """pallas_softmax='auto' policy: clamp is sound only for checkpoints
+    whose audited max attention logit clears the safety margin; an
+    unstamped checkpoint gets the exact stable softmax (the reference
+    bar is exact softmax at any magnitude,
+    /root/reference/networks/swin_transformer_sr.py:120-134)."""
+    if attn_logit_max is None:
+        return "stable"
+    return "clamp" if float(attn_logit_max) < AUTO_CLAMP_MARGIN else "stable"
 
 # int8 quantization (RDST_TPU_PALLAS_QUANT): static activation scale for
 # post-LayerNorm inputs — normalize() output is unit-variance by

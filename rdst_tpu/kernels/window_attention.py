@@ -69,6 +69,21 @@ def export_kernel_flags(paras) -> None:
         val = str(val).strip().lower()
         os.environ[env] = (
             "0" if val in ("", "none", "off", "false", "xla", "0") else val)
+    # pallas_softmax -> RDST_TPU_PALLAS_SOFTMAX (auto/stable/clamp/
+    # stable_mm). 'auto' is resolved against the checkpoint's audited
+    # attn_logit_max stamp by checkpoint.loading.resolve_pallas_softmax
+    # (tester/serving/bench call it after the weight path is known).
+    val = paras.get("pallas_softmax") if hasattr(paras, "get") else None
+    if val is not None:
+        val = str(val).strip().lower()
+        if val in ("", "none", "default"):
+            os.environ.pop("RDST_TPU_PALLAS_SOFTMAX", None)
+        elif val in ("auto", "stable", "clamp", "stable_mm"):
+            os.environ["RDST_TPU_PALLAS_SOFTMAX"] = val
+        else:
+            raise ValueError(
+                f"pallas_softmax={val!r}: expected auto/stable/clamp/"
+                "stable_mm")
 
 
 def pallas_train_mode() -> str:

@@ -61,6 +61,12 @@ class SRTester:
         from rdst_tpu.kernels.window_attention import export_kernel_flags
 
         export_kernel_flags(paras)
+        # pallas_softmax='auto': pick clamp vs stable from the audited
+        # attn_logit_max stamp in the checkpoint's stats sidecar —
+        # BEFORE the first trace (the variant is a trace-time gate)
+        from rdst_tpu.checkpoint.loading import resolve_pallas_softmax
+
+        resolve_pallas_softmax(None if self.bicubic else self._model_path())
         # normalized-input configs bake training-set mean/std into the
         # model's mean_shift (module attrs, not params) — the tester must
         # rebuild them from the SAME training volumes or every output is

@@ -121,6 +121,26 @@ class SRTrainer:
         from rdst_tpu.kernels.window_attention import export_kernel_flags
 
         export_kernel_flags(paras)
+        # pallas_softmax='auto' during TRAINING: start from the audited
+        # bound (fresh inits have near-zero logits -> clamp; warm starts
+        # read the pre_trained_g sidecar stamp), re-audit at every
+        # quick-eva, and escalate to the stable softmax mid-run via
+        # re-jit once the bound nears the margin (_maybe_escalate_softmax)
+        self._logit_bound = None      # running max audited attn logit
+        self._logit_probe = None      # lazily built (needs eval inputs)
+        self._remake_step_fn = False  # softmax flip -> re-jit train step
+        self._softmax_auto = (
+            _os.environ.get("RDST_TPU_PALLAS_SOFTMAX") == "auto")
+        self._softmax_mode = _os.environ.get("RDST_TPU_PALLAS_SOFTMAX", "")
+        if self._softmax_auto:
+            from rdst_tpu.checkpoint.loading import read_stats_sidecar
+            from rdst_tpu.kernels.swin_block import resolve_softmax_auto
+
+            tl = paras.get("pre_trained_g")
+            bound = ((read_stats_sidecar(str(tl)) or {}).get(
+                "attn_logit_max") if tl else 0.0)
+            self._softmax_mode = resolve_softmax_auto(bound)
+            _os.environ["RDST_TPU_PALLAS_SOFTMAX"] = self._softmax_mode
         self.model = build_generator(paras, mean, std,
                                      dtype=self.training_dtype)
         self.tx = make_optimizer(paras)
@@ -375,6 +395,7 @@ class SRTrainer:
             "training_epoch_costs": self.training_epoch_costs,
             "loss_records": self.loss.state_dict(),
             "best_quick": self._best_quick,
+            "logit_bound": self._logit_bound,
         }
         with open(join(self.checkpoint_dir, "host_state.json"), "w") as f:
             json.dump(host, f)
@@ -402,6 +423,12 @@ class SRTrainer:
         self.training_epoch_costs = host["training_epoch_costs"]
         self.loss.load_state_dict(host["loss_records"])
         self._best_quick = dict(host.get("best_quick", {}))
+        # restore the audited logit bound and re-run the auto-softmax
+        # escalation check: a resume must not restart in clamp after
+        # the pre-crash run already measured an unbounded regime
+        if host.get("logit_bound") is not None:
+            self._logit_bound = float(host["logit_bound"])
+            self._maybe_escalate_softmax()
         reports = join(self.dirs["records"], "quick_validation_reports.npy")
         if exists(reports):
             self.quick_validation_reports = list(np.load(reports, allow_pickle=True))
@@ -414,10 +441,17 @@ class SRTrainer:
         here they are module attrs, not params)."""
         mean = getattr(self.ds_train, "mean", None)
         std = getattr(self.ds_train, "std", None)
-        if mean is None and std is None:
+        stats = {}
+        if mean is not None or std is not None:
+            stats["mean"] = np.asarray(mean, np.float64).tolist()
+            stats["std"] = np.asarray(std, np.float64).tolist()
+        if self._logit_bound is not None:
+            # audited max attention logit (running max over quick-eva
+            # probes) — pallas_softmax='auto' resolves clamp vs stable
+            # against this stamp (checkpoint.loading.resolve_pallas_softmax)
+            stats["attn_logit_max"] = round(float(self._logit_bound), 3)
+        if not stats:
             return
-        stats = {"mean": np.asarray(mean, np.float64).tolist(),
-                 "std": np.asarray(std, np.float64).tolist()}
         with open(os.path.splitext(snapshot_path)[0] + ".stats.json", "w") as f:
             json.dump(stats, f)
 
@@ -620,6 +654,7 @@ class SRTrainer:
                 f"(losses: {self.loss.active_terms(ts)})"))
 
             step_fn = self._make_train_step(ts)
+            self._remake_step_fn = False  # fresh trace reads the current env
             q: "queue.Queue" = queue.Queue(maxsize=4)
             t = threading.Thread(
                 target=self._sampler, args=(left, q, self.state.step + 17),
@@ -692,6 +727,11 @@ class SRTrainer:
                             f"loss={self._last_total_f:.6f} ({np.mean(self.training_epoch_costs[-self.check_every:]):.3f}s/epoch)\n"
                             + plog)
                         self.log_metrics(ts)
+                        if self._remake_step_fn:
+                            # auto-softmax escalated mid-run: re-trace
+                            # the train step under the new variant
+                            step_fn = self._make_train_step(ts)
+                            self._remake_step_fn = False
                     self._wd_step = self.state.step  # watchdog heartbeat
                     if self._rss_exceeded:
                         # safe-boundary restart (see rss_restart_gb):
@@ -765,7 +805,69 @@ class SRTrainer:
                 recs[i][s] = out[i]
         return recs, pairs
 
+    def _probe_logit_bound(self):
+        """Audit the max attention logit on a held validation input.
+
+        One extra device dispatch per quick-eva (the probe fn is traced
+        once, under the audit env). Updates the running bound that the
+        stats sidecar stamps (``attn_logit_max``) and that
+        ``pallas_softmax='auto'`` escalation judges. Best-effort: any
+        failure (exotic apply signature, no validation data) leaves the
+        bound None, which resolves to the safe stable softmax."""
+        if self._logit_probe == "disabled":
+            return None
+        try:
+            if self._logit_probe is None:
+                from rdst_tpu.kernels.logit_audit import make_logit_probe
+
+                pair = self.ds_valid.get_test_pair(0)
+                scale, d = sorted(pair.items())[-1]
+                x = jnp.asarray(d["in"][:4])
+                self._logit_probe = (make_logit_probe(
+                    self.model, float(scale)), x)
+            probe, x = self._logit_probe
+            b = probe(self.state.params, x)
+        except Exception as e:  # noqa: BLE001 — audit must never kill training
+            self.write_log(f"logit audit probe failed ({e!r}); "
+                           "bound stays unstamped (auto -> stable)")
+            self._logit_probe = "disabled"
+            return None
+        if b is None:  # no window attention in this model
+            self._logit_probe = "disabled"
+            return None
+        if self._logit_bound is None or b > self._logit_bound:
+            self._logit_bound = float(b)
+        return float(b)
+
+    def _maybe_escalate_softmax(self) -> bool:
+        """auto-mode escalation: once the audited bound reaches the
+        margin, flip the env to the stable softmax and re-jit (train
+        step + eval fns). The margin sits 20 under the 60 clamp, and
+        logits grow ~0.002/step at the fastest observed rate (r4 100k
+        run), so a once-per-check_every audit escalates long before the
+        clamp corrupts anything."""
+        from rdst_tpu.kernels.swin_block import AUTO_CLAMP_MARGIN
+
+        if not (self._softmax_auto and self._softmax_mode == "clamp"):
+            return False
+        if self._logit_bound is None or self._logit_bound < AUTO_CLAMP_MARGIN:
+            return False
+        os.environ["RDST_TPU_PALLAS_SOFTMAX"] = "stable"
+        self._softmax_mode = "stable"
+        from rdst_tpu.kernels import clear_kernel_caches
+
+        clear_kernel_caches()
+        self._eval_fns.clear()
+        self._remake_step_fn = True
+        self.write_log(
+            f"pallas_softmax=auto: audited logit bound "
+            f"{self._logit_bound:.1f} >= margin {AUTO_CLAMP_MARGIN:.0f} — "
+            "escalated to segment-stable softmax (re-jit)")
+        return True
+
     def quick_eva(self) -> str:
+        self._probe_logit_bound()
+        self._maybe_escalate_softmax()
         n = min(self.quick_eva_num_samples, self.ds_valid.test_len())
         ids = self.rng.permutation(self.ds_valid.test_len())[:n]
         t0 = time.time()

@@ -637,3 +637,125 @@ class TestFusedSwinPair:
         denom = np.abs(ref).max()
         assert np.abs(got - ref).max() / denom < 0.05
         assert np.abs(got - ref).mean() / denom < 0.005
+
+
+class TestAutoSoftmax:
+    """pallas_softmax='auto' (r5): audited clamp-vs-stable dispatch.
+
+    The stable softmax costs -7.7% inference / -21% train vs clamp
+    (PERF.md r4), but clamp corrupts past logit 60 (the r4 100k run
+    reached 227 and NaN'd on chip). 'auto' picks clamp only for
+    checkpoints whose audited attn_logit_max clears the safety margin."""
+
+    def test_resolve_policy(self):
+        from rdst_tpu.kernels.swin_block import (AUTO_CLAMP_MARGIN,
+                                                 resolve_softmax_auto)
+
+        assert resolve_softmax_auto(None) == "stable"   # unstamped
+        assert resolve_softmax_auto(25.0) == "clamp"    # 40k-recipe regime
+        assert resolve_softmax_auto(227.0) == "stable"  # the r4 100k regime
+        assert resolve_softmax_auto(AUTO_CLAMP_MARGIN) == "stable"
+        assert AUTO_CLAMP_MARGIN < 60.0  # margin strictly below the clamp
+
+    def test_unresolved_auto_traces_stable(self, monkeypatch):
+        # 'auto' reaching a trace unresolved must fail safe to stable
+        from rdst_tpu.kernels.swin_block import _softmax_variant
+
+        monkeypatch.setenv("RDST_TPU_PALLAS_SOFTMAX", "auto")
+        assert _softmax_variant() == ""
+
+    def test_export_config_key(self, monkeypatch):
+        import os
+
+        from rdst_tpu.kernels.window_attention import export_kernel_flags
+
+        monkeypatch.delenv("RDST_TPU_PALLAS_SOFTMAX", raising=False)
+        export_kernel_flags({"pallas_softmax": "auto"})
+        assert os.environ["RDST_TPU_PALLAS_SOFTMAX"] == "auto"
+        export_kernel_flags({})  # absent key leaves the env untouched
+        assert os.environ["RDST_TPU_PALLAS_SOFTMAX"] == "auto"
+        export_kernel_flags({"pallas_softmax": "none"})
+        assert "RDST_TPU_PALLAS_SOFTMAX" not in os.environ
+        with pytest.raises(ValueError):
+            export_kernel_flags({"pallas_softmax": "bogus"})
+
+    def test_sidecar_resolution(self, tmp_path, monkeypatch):
+        import json
+        import os
+
+        from rdst_tpu.checkpoint.loading import resolve_pallas_softmax
+
+        w = tmp_path / "m.msgpack"
+        w.write_bytes(b"")
+        sc = tmp_path / "m.stats.json"
+
+        monkeypatch.setenv("RDST_TPU_PALLAS_SOFTMAX", "auto")
+        sc.write_text(json.dumps({"attn_logit_max": 25.1}))
+        assert resolve_pallas_softmax(str(w)) == "clamp"
+        assert os.environ["RDST_TPU_PALLAS_SOFTMAX"] == "clamp"
+
+        # regression for the r4 failure mode: a 100k-schedule bound
+        # (measured max 227 on chip) must keep the stable softmax
+        monkeypatch.setenv("RDST_TPU_PALLAS_SOFTMAX", "auto")
+        sc.write_text(json.dumps({"attn_logit_max": 227.0}))
+        assert resolve_pallas_softmax(str(w)) == "stable"
+
+        monkeypatch.setenv("RDST_TPU_PALLAS_SOFTMAX", "auto")
+        sc.write_text(json.dumps({"mean": [0.0], "std": [1.0]}))  # no stamp
+        assert resolve_pallas_softmax(str(w)) == "stable"
+
+        monkeypatch.setenv("RDST_TPU_PALLAS_SOFTMAX", "auto")
+        assert resolve_pallas_softmax(None) == "stable"  # no weights at all
+
+        monkeypatch.setenv("RDST_TPU_PALLAS_SOFTMAX", "clamp")
+        assert resolve_pallas_softmax(str(w)) == "clamp"  # non-auto passthru
+
+    def test_probe_measures_bound(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from rdst_tpu.kernels.logit_audit import measure_logit_bound
+        from rdst_tpu.nn.swin import BasicLayer
+
+        b, h, w, c, nh, ws = 1, 8, 8, 12, 2, 4
+        x = jnp.asarray(rng.normal(0, 1, (b, h * w, c)), jnp.float32)
+        layer = BasicLayer(dim=c, depth=2, num_heads=nh, window_size=ws,
+                           mlp_ratio=2.0, build_resolution=(h, w))
+        params = layer.init(jax.random.PRNGKey(0), x, (h, w))
+        bound = measure_logit_bound(layer, params, x, (h, w))
+        assert bound is not None and np.isfinite(bound)
+        # scaling qkv weights scales logits quadratically: the audit
+        # must see the growth (this is what catches a 100k-style run)
+        big = jax.tree.map(lambda a: a * 8.0, params)
+        assert measure_logit_bound(layer, big, x, (h, w)) > bound + 1.0
+
+    def test_probe_none_without_attention(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from rdst_tpu.kernels.logit_audit import measure_logit_bound
+        from rdst_tpu.models.edsr import EDSR
+
+        m = EDSR(n_resblocks=1, n_feats=8, sr_scale=2)
+        x = jnp.asarray(rng.random((1, 8, 8, 1)).astype(np.float32))
+        params = m.init(jax.random.PRNGKey(0), x)
+        assert measure_logit_bound(m, params, x) is None
+
+    def test_audit_env_restores_kernel_env(self, rng, monkeypatch):
+        import jax
+        import jax.numpy as jnp
+
+        from rdst_tpu.kernels.logit_audit import measure_logit_bound
+        from rdst_tpu.nn.swin import BasicLayer
+
+        monkeypatch.setenv("RDST_TPU_PALLAS", "pair")
+        monkeypatch.delenv("RDST_TPU_LOGIT_AUDIT", raising=False)
+        b, h, w, c = 1, 8, 8, 12
+        x = jnp.asarray(rng.normal(0, 1, (b, h * w, c)), jnp.float32)
+        layer = BasicLayer(dim=c, depth=2, num_heads=2, window_size=4,
+                           mlp_ratio=2.0, build_resolution=(h, w))
+        params = layer.init(jax.random.PRNGKey(0), x, (h, w))
+        measure_logit_bound(layer, params, x, (h, w))
+        import os
+        assert os.environ["RDST_TPU_PALLAS"] == "pair"
+        assert "RDST_TPU_LOGIT_AUDIT" not in os.environ

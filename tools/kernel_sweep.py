@@ -83,6 +83,24 @@ def main():
     hr_shape = (SLICES_PER_VOLUME, LR_SHAPE[0] * 4, LR_SHAPE[1] * 4, 1)
     params = jax.jit(model.init)(jax.random.PRNGKey(0),
                                  jnp.zeros((1,) + LR_SHAPE))
+
+    # r5: measure under the SHIPPED softmax config — resolve the
+    # config's pallas_softmax key, incl. 'auto' against THIS param
+    # set's measured logit bound (fresh init = bounded, so auto
+    # legitimately selects the clamp fast path, same as bench.py)
+    from rdst_tpu.kernels.window_attention import export_kernel_flags
+
+    export_kernel_flags(paras)
+    if os.environ.get("RDST_TPU_PALLAS_SOFTMAX") == "auto":
+        from rdst_tpu.kernels.logit_audit import measure_logit_bound
+        from rdst_tpu.kernels.swin_block import resolve_softmax_auto
+
+        xa = jnp.asarray(np.random.default_rng(1).random(
+            (4,) + LR_SHAPE, dtype=np.float32))
+        os.environ["RDST_TPU_PALLAS_SOFTMAX"] = resolve_softmax_auto(
+            measure_logit_bound(model32, params, xa))
+    print("softmax variant:",
+          os.environ.get("RDST_TPU_PALLAS_SOFTMAX") or "stable", flush=True)
     volumes = jax.device_put(
         rng.random((N_DISTINCT_VOLUMES,) + hr_shape, dtype=np.float32))
 
