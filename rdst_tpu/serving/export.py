@@ -55,16 +55,50 @@ def _canon_input(x) -> np.ndarray:
     return x
 
 
-def _bucket(n: int, max_batch: int) -> int:
-    """Next power-of-two batch bucket, capped at max_batch (one XLA
-    executable per bucket; oversized requests split into chunks)."""
-    b = 1
-    while b < n:
-        b *= 2
-    return max(1, min(b, max_batch))
+# Default serving bucket ladder. Every bucket is one XLA executable
+# compiled lazily (or at --warmup): the r4 serving bench measured the
+# full power-of-two ladder 1..64 at 222 s of compiles per process
+# (SERVING_BENCH.json bucket_warmup_s), a 4-minute readiness gap. A
+# sparse {1, 8, 64} ladder cuts that ~2.3x for a bounded padding cost
+# (worst case 7/8 wasted rows on a 2-slice request — device time at
+# bucket 8 is still <10 ms at the flagship rate). 'pow2' restores the
+# dense ladder; RDST_TPU_SERVE_BUCKETS or the server's --buckets flag
+# override. RDST_TPU_CACHE=1 (real TPU runtimes; NOT the axon dev
+# tunnel — see rdst_tpu/__init__.py) removes restart compiles entirely.
+DEFAULT_BUCKETS = "1,8,64"
 
 
-def _bucketed_predict(fn, params, x: np.ndarray, max_batch: int,
+def resolve_buckets(max_batch: int, spec=None) -> Tuple[int, ...]:
+    """Resolve a bucket-ladder spec into a sorted tuple capped at
+    ``max_batch`` (which is always included as the top bucket so
+    oversized requests chunk at full batch). ``spec``: comma list
+    ('1,8,64'), 'pow2' for the dense ladder, or None for the
+    RDST_TPU_SERVE_BUCKETS env / DEFAULT_BUCKETS."""
+    max_batch = max(1, int(max_batch))
+    spec = spec or os.environ.get("RDST_TPU_SERVE_BUCKETS") or DEFAULT_BUCKETS
+    if str(spec).strip().lower() == "pow2":
+        out, b = set(), 1
+        while b < max_batch:
+            out.add(b)
+            b *= 2
+        out.add(max_batch)
+        return tuple(sorted(out))
+    vals = {int(v) for v in str(spec).split(",") if str(v).strip()}
+    vals = {v for v in vals if 1 <= v <= max_batch}
+    vals.add(max_batch)
+    return tuple(sorted(vals))
+
+
+def _bucket(n: int, buckets: Tuple[int, ...]) -> int:
+    """Smallest ladder bucket >= n, else the top bucket (oversized
+    requests split into top-bucket chunks)."""
+    for b in buckets:
+        if b >= n:
+            return b
+    return buckets[-1]
+
+
+def _bucketed_predict(fn, params, x: np.ndarray, buckets: Tuple[int, ...],
                       residual_scale: float, put=jnp.asarray,
                       min_bucket: int = 1) -> np.ndarray:
     """Shared dispatch: pad to bucket, run, slice, blend residual.
@@ -73,7 +107,7 @@ def _bucketed_predict(fn, params, x: np.ndarray, max_batch: int,
     pass a batch-sharding device_put; ``min_bucket`` keeps every bucket
     divisible by the mesh's data axis."""
     n = x.shape[0]
-    b = max(_bucket(n, max_batch), min_bucket)
+    b = max(_bucket(n, buckets), min_bucket)
     out_chunks = []
     for i in range(0, n, b):
         blk = x[i:i + b]
@@ -102,11 +136,13 @@ def build_serving_model(paras):
     """
     from rdst_tpu.checkpoint.loading import (load_well_trained_params,
                                              resolve_model_path,
-                                             resolve_norm_stats)
+                                             resolve_norm_stats,
+                                             resolve_pallas_softmax)
     from rdst_tpu.kernels.window_attention import export_kernel_flags
     from rdst_tpu.models import build_generator
 
     export_kernel_flags(paras)
+    resolve_pallas_softmax(resolve_model_path(paras))
     idt = str(paras.get("inference_dtype", "float32")).lower()
     infer_dtype = (jnp.bfloat16 if idt in ("bfloat16", "bf16")
                    else jnp.float32)
@@ -145,6 +181,8 @@ def build_serving_model(paras):
         "scale_free": bool(paras.scale_free),
         "residual_scale": float(paras.get("residual_scale", 0.0) or 0.0),
         "pallas_kernels": effective_kernels or None,
+        # resolved variant ('auto' never reaches here — resolved above)
+        "pallas_softmax": os.environ.get("RDST_TPU_PALLAS_SOFTMAX") or None,
         "jax_version": jax.__version__,
     }
     return model, params, infer_dtype, meta
@@ -249,9 +287,10 @@ class ServingBundle:
     per bucket), and returns f32 HR of shape (N, H*s, W*s, C).
     """
 
-    def __init__(self, bundle_dir: str, max_batch: int = 64):
+    def __init__(self, bundle_dir: str, max_batch: int = 64, buckets=None):
         self.dir = bundle_dir
         self.max_batch = int(max_batch)
+        self.buckets = resolve_buckets(max_batch, buckets)
         with open(join(bundle_dir, MANIFEST_NAME)) as f:
             self.manifest = json.load(f)
         from flax import serialization
@@ -302,7 +341,7 @@ class ServingBundle:
         entry = self._entry_for(float(scale), x.shape[1:3])
         fn = self._call_for(entry)
         rs = float(self.manifest.get("residual_scale", 0.0) or 0.0)
-        return _bucketed_predict(fn, self.params, x, self.max_batch, rs)
+        return _bucketed_predict(fn, self.params, x, self.buckets, rs)
 
 
 class LiveModel:
@@ -318,7 +357,7 @@ class LiveModel:
     config, data tree, or model code version.
     """
 
-    def __init__(self, paras, max_batch: int = 64):
+    def __init__(self, paras, max_batch: int = 64, buckets=None):
         from rdst_tpu.parallel import (batch_sharding,
                                        make_mesh_from_paras,
                                        replicate_tree)
@@ -334,6 +373,7 @@ class LiveModel:
                              mesh={k: int(v)
                                    for k, v in self.mesh.shape.items()})
         self.max_batch = int(max_batch)
+        self.buckets = resolve_buckets(max_batch, buckets)
         self._dtype = infer_dtype
         self._fns: Dict[Tuple, object] = {}
         self._batch_sharding = batch_sharding(self.mesh)
@@ -355,7 +395,7 @@ class LiveModel:
             self._fns[key] = jax.jit(fn)
         rs = float(self.manifest.get("residual_scale", 0.0) or 0.0)
         return _bucketed_predict(self._fns[key], self.params, x,
-                                 self.max_batch, rs, put=self._put,
+                                 self.buckets, rs, put=self._put,
                                  min_bucket=self.mesh.shape["data"])
 
 

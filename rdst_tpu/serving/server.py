@@ -217,17 +217,23 @@ class InferenceServer:
         self.port = self.httpd.server_address[1]
 
     def warmup(self, lr_hw=None, scale=None, channels: int = 1) -> float:
-        """Pre-compile every power-of-two batch bucket so the first
-        concurrent burst hits steady-state batching latency instead of
-        one lazy compile + first-execution per bucket shape (minutes
-        each on a dev tunnel; the r4 serving bench measured a 64-client
-        cold burst at p50 42.8 s against a warm single-digit target).
+        """Pre-compile every batch bucket of the predictor's ladder so
+        the first concurrent burst hits steady-state batching latency
+        instead of one lazy compile + first-execution per bucket shape
+        (minutes each on a dev tunnel; the r4 serving bench measured a
+        64-client cold burst at p50 42.8 s against a warm single-digit
+        target). The ladder defaults to the sparse {1, 8, 64} set
+        (export.DEFAULT_BUCKETS) — the r5 fix for the 222 s dense-pow2
+        cold start; RDST_TPU_CACHE=1 on a real TPU runtime removes
+        restart compiles entirely.
 
         Warm points: the explicit ``(lr_hw, scale)`` if given, else
         every entry of an exported bundle's manifest (bundles know
         their shapes; live configs don't until a request arrives).
         Returns seconds spent. Call before accepting traffic."""
         import time
+
+        from rdst_tpu.serving.export import resolve_buckets
 
         if lr_hw is not None:
             if scale is None:
@@ -237,12 +243,9 @@ class InferenceServer:
             manifest = getattr(self.batcher.predictor, "manifest", {})
             pts = [(tuple(e["lr_hw"]), float(e["scale"]))
                    for e in manifest.get("entries", [])]
-        mb = self.batcher.max_batch
-        buckets, b = [], 1
-        while b < mb:
-            buckets.append(b)
-            b *= 2
-        buckets.append(mb)  # the capped bucket when mb isn't a pow2
+        buckets = getattr(self.batcher.predictor, "buckets", None)
+        if not buckets:
+            buckets = resolve_buckets(self.batcher.max_batch)
         t0 = time.time()
         for hw, sc in pts:
             shape = hw if channels == 1 else hw + (int(channels),)
@@ -277,6 +280,12 @@ def main(argv=None):
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--max-batch", type=int, default=64)
+    ap.add_argument("--buckets", default=None,
+                    help="batch-bucket ladder: comma list ('1,8,64', "
+                    "the default — one XLA executable per bucket) or "
+                    "'pow2' for the dense ladder (7 compiles at "
+                    "max-batch 64; measured 222 s cold on the dev "
+                    "tunnel). RDST_TPU_SERVE_BUCKETS also works")
     ap.add_argument("--batch-wait-ms", type=float, default=5.0)
     ap.add_argument("--platform", default=None,
                     help="force the jax platform (e.g. 'cpu'; the "
@@ -300,13 +309,15 @@ def main(argv=None):
     if args.bundle:
         from rdst_tpu.serving.export import ServingBundle
 
-        predictor = ServingBundle.load(args.bundle, max_batch=args.max_batch)
+        predictor = ServingBundle.load(args.bundle, max_batch=args.max_batch,
+                                       buckets=args.buckets)
     else:
         from rdst_tpu.config import ParametersLoader
         from rdst_tpu.serving.export import LiveModel
 
         predictor = LiveModel(ParametersLoader(args.config_file),
-                              max_batch=args.max_batch)
+                              max_batch=args.max_batch,
+                              buckets=args.buckets)
     srv = InferenceServer(predictor, args.host, args.port,
                           args.max_batch, args.batch_wait_ms)
     if args.warmup_shape is not None:

@@ -83,15 +83,37 @@ class TestBundle:
         assert np.isfinite(y).all()
 
     def test_bucket_caps_at_max_batch(self):
-        """Oversized requests must split into max_batch chunks, not
+        """Oversized requests must split into top-bucket chunks, not
         dispatch one giant (fresh-compile, OOM-risk) executable."""
-        from rdst_tpu.serving.export import _bucket
+        from rdst_tpu.serving.export import _bucket, resolve_buckets
 
-        assert _bucket(200, 64) == 64
-        assert _bucket(1000, 64) == 64
-        assert _bucket(5, 2) == 2
-        assert _bucket(3, 8) == 4
-        assert _bucket(1, 64) == 1
+        dense = resolve_buckets(64, "pow2")
+        assert dense == (1, 2, 4, 8, 16, 32, 64)
+        assert _bucket(200, dense) == 64
+        assert _bucket(1000, dense) == 64
+        assert _bucket(5, resolve_buckets(2, "pow2")) == 2
+        assert _bucket(3, dense) == 4
+        assert _bucket(1, dense) == 1
+
+    def test_sparse_default_ladder(self, monkeypatch):
+        """r5 cold-start fix: the default ladder is sparse {1, 8, 64}
+        (3 compiles, was 7 — 222 s measured on the dev tunnel), n maps
+        to the smallest admitting bucket, max_batch always tops the
+        ladder, and the env/spec overrides work."""
+        from rdst_tpu.serving.export import _bucket, resolve_buckets
+
+        monkeypatch.delenv("RDST_TPU_SERVE_BUCKETS", raising=False)
+        b = resolve_buckets(64)
+        assert b == (1, 8, 64)
+        assert _bucket(1, b) == 1
+        assert _bucket(2, b) == 8  # the documented padding tradeoff
+        assert _bucket(8, b) == 8
+        assert _bucket(9, b) == 64
+        # max_batch below a default rung: ladder still capped + topped
+        assert resolve_buckets(6) == (1, 6)
+        assert resolve_buckets(64, "1,4,64") == (1, 4, 64)
+        monkeypatch.setenv("RDST_TPU_SERVE_BUCKETS", "2,32")
+        assert resolve_buckets(64) == (2, 32, 64)
 
     def test_bucketing_pad_and_chunks(self, bundle_dir, rng):
         """n=5 with max_batch=2 -> chunks of 2/2/1(padded); outputs must

@@ -105,6 +105,10 @@ def bench_http(live, x_one, n_clients, slices_each):
         return {
             "clients": n_clients,
             "slices_per_request": slices_each,
+            # r5: warm_s over the SPARSE default ladder (export.
+            # DEFAULT_BUCKETS {1,8,64}; was the dense pow2 ladder's
+            # 222 s) — this IS the server's ready-to-steady-state gap
+            "buckets": list(getattr(live, "buckets", ())),
             "bucket_warmup_s": warm_s,
             "failed": n_clients - len(ok),
             "p50_s": round(pctl(ok, 50), 4),
@@ -158,8 +162,12 @@ def main():
     out["dispatch_floor_s"] = round((time.time() - t0) / 8, 4)
 
     live = LiveModel(paras)
+    out["buckets"] = list(live.buckets)
     phase("live_batch64", lambda: time_predict(live, x))
     phase("live_single_slice", lambda: time_predict(live, x[:1]))
+    # the sparse-ladder padding tradeoff, measured: 2 slices pad to
+    # bucket 8 (dense ladder would run bucket 2)
+    phase("live_2_slices_pad8", lambda: time_predict(live, x[:2]))
 
     def bundle_phase():
         with tempfile.TemporaryDirectory() as td:
