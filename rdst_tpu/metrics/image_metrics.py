@@ -325,6 +325,15 @@ def dice_coefficient(gt_label, pred_label, n_classes=None):
     return np.array(scores)
 
 
+def lpips(gt, p) -> float:
+    """LPIPS-style perceptual distance over the committed VGG feature
+    stack (metrics/perceptual.py; lazy import — the backbone loads on
+    first use only). Lower is better; comparable within this repo."""
+    from rdst_tpu.metrics.perceptual import lpips as _lpips
+
+    return _lpips(gt, p)
+
+
 METRIC_FUNCS = {
     "mse": mse,
     "rmse": rmse,
@@ -338,4 +347,5 @@ METRIC_FUNCS = {
     "sam": sam,
     "vifp": vifp,
     "psnrb": psnrb,
+    "lpips": lpips,
 }

@@ -1,0 +1,177 @@
+"""LPIPS-style perceptual distance over the committed VGG feature stack.
+
+The reference evaluates GAN fine-tunes with PSNR/SSIM only
+(/root/reference/metrics/sr_metrics.py:16-135), which are blind to the
+texture differences adversarial training exists to create. This adds a
+learned-feature distance in the LPIPS construction (Zhang et al. 2018):
+unit-normalize each layer's features along the channel axis, take
+squared differences, average spatially and over channels, and sum
+across layers.
+
+Two honest departures from the published LPIPS (both forced by this
+environment and documented wherever the number is quoted):
+
+* the backbone is the repo's natively-trained width-0.25 VGG19
+  substitute (``weights/vgg19_features_native.pkl``,
+  runners/train_vgg_features.py) — torchvision's ImageNet VGG and the
+  LPIPS calibration weights are stripped upstream;
+* the per-layer linear calibration is uniform (channel mean) instead of
+  LPIPS's learned 1x1 weights.
+
+Values are therefore comparable WITHIN this repo (same backbone for
+every row) but not against published LPIPS numbers; lower is better.
+Registered as ``lpips`` in ``METRIC_FUNCS`` so any config can request
+it via ``eva_metrics_for_testing``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import numpy as np
+
+# torchvision-numbered module bounds (end-exclusive, matching
+# losses/vgg.py:_TAPS semantics): outputs after relu1_2, relu2_2,
+# relu3_4, relu4_4, relu5_4 — the five LPIPS tap depths.
+_TAP_BOUNDS: Tuple[int, ...] = (4, 9, 18, 27, 36)
+
+_IMAGENET_MEAN = (0.485, 0.456, 0.406)
+_IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+@functools.lru_cache(maxsize=1)
+def _backbone():
+    """(variables, width, max_tap) for the deepest available stack.
+
+    Prefers a real torchvision vgg19 .pt when present (RDST_TPU_VGG19_PT),
+    falling back to the committed native substitute. Returns taps capped
+    to what the loaded blob covers."""
+    from rdst_tpu.losses.vgg import (VGG19Features, load_native_features,
+                                     load_vgg19_params)
+
+    max_tap = max(_TAP_BOUNDS)
+    variables = load_vgg19_params(max_tap)
+    width = 1.0
+    if variables is None:
+        variables, width = load_native_features(max_tap)
+    if variables is None:  # no weights at all: frozen He init, warned
+        import jax
+        import jax.numpy as jnp
+        import warnings
+
+        warnings.warn(
+            "lpips metric: no VGG weights found; using a frozen "
+            "random-init VGG backbone (structured prior only)")
+        model = VGG19Features(tap=max_tap, width=width)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 64, 64, 3)))
+    return variables, width, max_tap
+
+
+class _TapFeatures:
+    """Apply the (truncated) VGG19 conv stack, returning every
+    ``_TAP_BOUNDS`` activation. Mirrors losses/vgg.py:VGG19Features'
+    module walk exactly so the same param tree loads."""
+
+    def __init__(self, width: float, bounds: Sequence[int]):
+        self.width = width
+        self.bounds = tuple(bounds)
+
+    def __call__(self, variables, x):
+        import jax
+        import jax.numpy as jnp
+        from flax import linen as nn
+
+        from rdst_tpu.losses.vgg import _VGG19_CFG
+        from rdst_tpu.nn.layers import torch_conv_init
+
+        width = self.width
+        bounds = self.bounds
+
+        class Net(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                taps = []
+                module_idx = 0
+                conv_idx = 0
+                for item in _VGG19_CFG:
+                    if module_idx >= max(bounds):
+                        break
+                    if item == "M":
+                        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+                        module_idx += 1
+                    else:
+                        x = nn.Conv(max(8, int(item * width)), (3, 3),
+                                    padding=1,
+                                    kernel_init=torch_conv_init,
+                                    name=f"conv_{conv_idx}")(x)
+                        conv_idx += 1
+                        module_idx += 1
+                        x = jax.nn.relu(x)
+                        module_idx += 1
+                    if module_idx in bounds:
+                        taps.append(x)
+                return taps
+
+        return Net().apply(variables, x)
+
+
+@functools.lru_cache(maxsize=1)
+def _distance_fn():
+    """Jitted (gt, p) NHWC f32 -> per-image LPIPS-style distances."""
+    import jax
+    import jax.numpy as jnp
+
+    variables, width, _ = _backbone()
+    feats = _TapFeatures(width, _TAP_BOUNDS)
+
+    def dist(gt, p):
+        mean = jnp.asarray(_IMAGENET_MEAN, jnp.float32)
+        std = jnp.asarray(_IMAGENET_STD, jnp.float32)
+        fg = feats(variables, (gt - mean) / std)
+        fp = feats(variables, (p - mean) / std)
+        total = 0.0
+        for a, b in zip(fg, fp):
+            na = a * jax.lax.rsqrt(
+                jnp.sum(a * a, -1, keepdims=True) + 1e-10)
+            nb = b * jax.lax.rsqrt(
+                jnp.sum(b * b, -1, keepdims=True) + 1e-10)
+            # uniform calibration: channel mean (see module docstring)
+            total = total + jnp.mean((na - nb) ** 2, axis=(1, 2, 3))
+        return total
+
+    return jax.jit(dist)
+
+
+def _to_rgb_nhwc(img: np.ndarray) -> np.ndarray:
+    """HWC (any C) float -> NHWC 3-channel f32, grayscale replicated
+    (the reference's VGG-loss convention, loss/vgg.py:36-44)."""
+    img = np.asarray(img, np.float32)
+    if img.ndim == 2:
+        img = img[..., None]
+    if img.shape[-1] == 1:
+        img = np.repeat(img, 3, axis=-1)
+    elif img.shape[-1] != 3:
+        # multi-channel volumes: average into one luminance plane, then
+        # replicate (keeps the metric defined for BraTS 4-modality)
+        img = np.repeat(img.mean(-1, keepdims=True), 3, axis=-1)
+    return img[None]
+
+
+def lpips(gt, p) -> float:
+    """LPIPS-style perceptual distance (lower = closer). HWC in [0,1]."""
+    gt = _to_rgb_nhwc(gt)
+    p = _to_rgb_nhwc(p)
+    h, w = gt.shape[1:3]
+    # 4 pools before the deepest tap: pad to a /16 multiple so shapes
+    # stay valid and jit retraces stay rare (pad is reflective: no
+    # synthetic edges for the conv stack to react to)
+    ph, pw = (-h) % 16, (-w) % 16
+    if ph or pw:
+        pad = ((0, 0), (0, ph), (0, pw), (0, 0))
+        gt = np.pad(gt, pad, mode="reflect")
+        p = np.pad(p, pad, mode="reflect")
+    import jax
+
+    return float(jax.device_get(_distance_fn()(gt, p))[0])
