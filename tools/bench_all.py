@@ -237,7 +237,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="BENCH_EXTRA.json")
     ap.add_argument("--skip", nargs="*", type=int, default=[],
-                    help="record numbers to skip (1-5 BASELINE, 6-9 extra); "
+                    help="record numbers to skip (1-5 BASELINE, 6-11 extra); "
                          "skipped records keep their previous value when "
                          "the out file already exists")
     args = ap.parse_args()
@@ -289,6 +289,19 @@ def main():
     run(9, bench_training, "extra-9-rdst-e1-train-bf16-pairkernel",
         "config_files/rdst_e1_40k_oasis20_x4.ini",
         extra={"training_dtype": "bfloat16", "pallas_train": "pair"})
+    # extras 10/11 (r5): SwinIR-std's bf16 train step — the C=180
+    # geometry whose PAIR backward exceeds VMEM (it burned its r4 100k
+    # run at XLA pace, VERDICT r4 #6). Record 11 engages the
+    # single-block window-chunked train kernel (kernels/block_train.py)
+    # through the default 'pair' mode's per-block fallback.
+    run(10, bench_training, "extra-10-swinir-std-train-bf16-xla",
+        "config_files/swinir_std_40k_oasis20_x4.ini",
+        extra={"training_dtype": "bfloat16", "pallas_train": "off"},
+        steps=32)
+    run(11, bench_training, "extra-11-swinir-std-train-bf16-blockkernel",
+        "config_files/swinir_std_40k_oasis20_x4.ini",
+        extra={"training_dtype": "bfloat16", "pallas_train": "pair"},
+        steps=32)
 
     # --skip'd configs keep their previous record when the out file exists
     kept = [old[n] for n in sorted(old) if n in args.skip]
