@@ -119,7 +119,14 @@ class _TapFeatures:
 
 @functools.lru_cache(maxsize=1)
 def _distance_fn():
-    """Jitted (gt, p) NHWC f32 -> per-image LPIPS-style distances."""
+    """Jitted (gt, p) NHWC f32 -> per-image LPIPS-style distances.
+
+    Pinned to the host CPU backend: the metric is called once per
+    image from the host-side eval loop, where a TPU binding would pay
+    the ~0.35 s/dispatch dev-tunnel RPC per slice (and contend with
+    the model's own dispatches); the quarter-width VGG stack is light
+    enough that CPU is faster end-to-end, and values are
+    platform-independent."""
     import jax
     import jax.numpy as jnp
 
@@ -141,7 +148,14 @@ def _distance_fn():
             total = total + jnp.mean((na - nb) ** 2, axis=(1, 2, 3))
         return total
 
-    return jax.jit(dist)
+    cpu = jax.devices("cpu")[0]
+    jitted = jax.jit(dist)
+
+    def on_cpu(gt, p):
+        with jax.default_device(cpu):
+            return jitted(gt, p)
+
+    return on_cpu
 
 
 def _to_rgb_nhwc(img: np.ndarray) -> np.ndarray:
