@@ -38,6 +38,7 @@ N_ITERS = int(os.environ.get("SWEEP_ITERS", 16))
 def main():
     argv = sys.argv[1:]
     config = "config_files/rdst_e1_oasis_x4.ini"
+    stamp = None
     points = []
     it = iter(argv)
     for a in it:  # --config anywhere, both --config=F and --config F forms
@@ -47,6 +48,14 @@ def main():
             config = next(it, None)
             if config is None:
                 sys.exit("--config requires a FILE.ini argument")
+        elif a.startswith("--stamp="):
+            # resolve pallas_softmax='auto' against THIS checkpoint's
+            # audited sidecar instead of the fresh-init self-audit —
+            # the table cells describe inference of the TRAINED model
+            # (e.g. SwinIR-light's trained logits audit at 64.2, ABOVE
+            # the 60 clamp, so its cell must be measured stable even
+            # though a fresh init would resolve clamp)
+            stamp = a.split("=", 1)[1]
         elif a.startswith("--"):
             sys.exit(f"unknown option {a!r} (see module docstring)")
         else:
@@ -92,13 +101,19 @@ def main():
 
     export_kernel_flags(paras)
     if os.environ.get("RDST_TPU_PALLAS_SOFTMAX") == "auto":
-        from rdst_tpu.kernels.logit_audit import measure_logit_bound
         from rdst_tpu.kernels.swin_block import resolve_softmax_auto
 
-        xa = jnp.asarray(np.random.default_rng(1).random(
-            (4,) + LR_SHAPE, dtype=np.float32))
-        os.environ["RDST_TPU_PALLAS_SOFTMAX"] = resolve_softmax_auto(
-            measure_logit_bound(model32, params, xa))
+        if stamp:
+            from rdst_tpu.checkpoint.loading import read_stats_sidecar
+
+            bound = (read_stats_sidecar(stamp) or {}).get("attn_logit_max")
+        else:
+            from rdst_tpu.kernels.logit_audit import measure_logit_bound
+
+            xa = jnp.asarray(np.random.default_rng(1).random(
+                (4,) + LR_SHAPE, dtype=np.float32))
+            bound = measure_logit_bound(model32, params, xa)
+        os.environ["RDST_TPU_PALLAS_SOFTMAX"] = resolve_softmax_auto(bound)
     print("softmax variant:",
           os.environ.get("RDST_TPU_PALLAS_SOFTMAX") or "stable", flush=True)
     volumes = jax.device_put(
