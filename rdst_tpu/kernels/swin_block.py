@@ -358,6 +358,18 @@ def _body(xf, cdt, nH, scale, T, N, C, fast, bw,
                 (((2,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)  # (T, N, nH*N)
             e = jnp.exp(s - mb).astype(cdt)
+        elif _softmax_variant() == "stable_bc":
+            # r5 stretch attempt: same per-head row maxes, but the
+            # SUBTRACTION is lane-concatenated broadcasts and the exp
+            # runs ONCE at full lane width — trades (nH-1) extra VPU
+            # exp passes for nH broadcast-concats. Exact softmax
+            # invariance like 'stable'.
+            mb = jnp.concatenate(
+                [jnp.broadcast_to(
+                    jnp.max(s[:, :, h * N:(h + 1) * N], axis=-1,
+                            keepdims=True), (T, N, N))
+                 for h in range(nH)], axis=-1)
+            e = jnp.exp(s - mb).astype(cdt)
         else:
             # segment-stable softmax (default): subtract each head
             # segment's row max before exp — exact softmax invariance,

@@ -78,12 +78,12 @@ def export_kernel_flags(paras) -> None:
         val = str(val).strip().lower()
         if val in ("", "none", "default"):
             os.environ.pop("RDST_TPU_PALLAS_SOFTMAX", None)
-        elif val in ("auto", "stable", "clamp", "stable_mm"):
+        elif val in ("auto", "stable", "clamp", "stable_mm", "stable_bc"):
             os.environ["RDST_TPU_PALLAS_SOFTMAX"] = val
         else:
             raise ValueError(
                 f"pallas_softmax={val!r}: expected auto/stable/clamp/"
-                "stable_mm")
+                "stable_mm/stable_bc")
 
 
 def pallas_train_mode() -> str:

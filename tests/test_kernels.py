@@ -160,6 +160,15 @@ class TestFusedSwinBlock:
         err = np.abs(got - ref).max() / max(np.abs(ref).max(), 1e-6)
         assert err < 0.05, err
 
+        # stable_bc (r5 stretch: one full-lane exp over broadcast
+        # maxes) is exact like stable — must pass the same gate
+        monkeypatch.setenv("RDST_TPU_PALLAS_SOFTMAX", "stable_bc")
+        clear_kernel_caches()
+        got_bc = np.asarray(blk.apply(params, x, (h, w)), np.float32)
+        assert np.isfinite(got_bc).all()
+        err_bc = np.abs(got_bc - ref).max() / max(np.abs(ref).max(), 1e-6)
+        assert err_bc < 0.05, err_bc
+
         # the opt-in clamp variant demonstrably corrupts at this scale
         # (documents WHY stable is the default; uses a fresh cache)
         monkeypatch.setenv("RDST_TPU_PALLAS_SOFTMAX", "clamp")
