@@ -139,6 +139,12 @@ def run_steps(steps, state, only=None, skip=(), force=False,
             stamp(f"{name} BLOCKED (needs {missing})")
             continue
         log = os.path.join(log_dir, f"tpuq_{name}.log")
+        # settle gap between device-attaching processes: two r5 steps
+        # launched <3 s after their predecessor exited wedged forever
+        # at their FIRST device op (futex-wait, 0 CPU — the tunnel's
+        # lost-RPC signature), while steps starting later ran fine.
+        # 15 s costs nothing against multi-minute steps.
+        time.sleep(15)
         stamp(f"{name} START -> {log}")
         t0 = time.time()
         rc, status = run_step(s, log)
