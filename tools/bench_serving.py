@@ -160,8 +160,10 @@ def main():
     for _ in range(8):
         jax.device_get(f(z))
     out["dispatch_floor_s"] = round((time.time() - t0) / 8, 4)
+    print("dispatch_floor_s", out["dispatch_floor_s"], flush=True)
 
     live = LiveModel(paras)
+    print("LiveModel built", flush=True)
     out["buckets"] = list(live.buckets)
     phase("live_batch64", lambda: time_predict(live, x))
     phase("live_single_slice", lambda: time_predict(live, x[:1]))

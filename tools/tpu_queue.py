@@ -98,18 +98,42 @@ def log_tail(path, n=8):
         return []
 
 
-def run_step(step, log_path):
-    """Run one step in its own process group; returns (rc, status)."""
+def _run_once(step, log_path):
+    """One attempt: own process group, timeout + LOG-STALL watchdog.
+
+    The axon tunnel intermittently loses the first RPC of a fresh
+    process: the step then sits in futex-wait at ~0 CPU forever while
+    a retried fresh process usually succeeds (r5: three steps wedged
+    this way in one morning; every manual kill+retry recovered). A
+    step whose log hasn't grown for `log_stall_s` (default 900 s —
+    training logs print every ~100 s, benches every few minutes) is
+    killed and reported WEDGED so the caller can retry."""
+    stall_s = float(step.get("log_stall_s", 900))
     with open(log_path, "w") as lf:
         proc = subprocess.Popen(
             step["cmd"], stdout=lf, stderr=subprocess.STDOUT,
             start_new_session=True)
         try:
-            rc = proc.wait(timeout=step["timeout_s"])
-            status = "PASS" if rc == 0 else "FAIL"
-        except subprocess.TimeoutExpired:
-            _kill_group(proc)
-            rc, status = -1, "TIMEOUT"
+            deadline = time.time() + step["timeout_s"]
+            last_size, last_change = -1, time.time()
+            while True:
+                try:
+                    rc = proc.wait(timeout=10)
+                    return rc, ("PASS" if rc == 0 else "FAIL")
+                except subprocess.TimeoutExpired:
+                    now = time.time()
+                    try:
+                        size = os.path.getsize(log_path)
+                    except OSError:
+                        size = -1
+                    if size != last_size:
+                        last_size, last_change = size, now
+                    if now > deadline:
+                        _kill_group(proc)
+                        return -1, "TIMEOUT"
+                    if now - last_change > stall_s:
+                        _kill_group(proc)
+                        return -1, "WEDGED"
         except BaseException:          # queue itself killed/interrupted
             _kill_group(proc)
             raise
@@ -118,6 +142,18 @@ def run_step(step, log_path):
             # orphaned trainer holds the single TPU and every later
             # step dies at device init (r4 w96_100k failure mode).
             _kill_group(proc, grace_s=2.0)
+
+
+def run_step(step, log_path):
+    """Run one step, retrying wedged attempts (lost first RPC)."""
+    retries = int(step.get("retries", 2))
+    for attempt in range(retries + 1):
+        rc, status = _run_once(step, log_path)
+        if status != "WEDGED" or attempt == retries:
+            return rc, status
+        stamp(f"{step['name']} attempt {attempt + 1} WEDGED "
+              f"(log stalled) — killing group and retrying")
+        time.sleep(15)
     return rc, status
 
 
