@@ -107,7 +107,10 @@ def bench_http(live, x_one, n_clients, slices_each):
             "slices_per_request": slices_each,
             # r5: warm_s over the SPARSE default ladder (export.
             # DEFAULT_BUCKETS {1,8,64}; was the dense pow2 ladder's
-            # 222 s) — this IS the server's ready-to-steady-state gap
+            # 222 s). NOTE: in this process earlier bench phases
+            # already compiled the buckets, so warm_s is the warm
+            # re-execution; the honest restart gap is measured by
+            # tools/bench_readiness.py (fresh server subprocess)
             "buckets": list(getattr(live, "buckets", ())),
             "bucket_warmup_s": warm_s,
             "failed": n_clients - len(ok),
