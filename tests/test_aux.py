@@ -450,6 +450,34 @@ class TestTpuQueue:
         assert state["boom"]["rc"] == 3
         assert any("the-diagnosis" in ln for ln in state["boom"]["tail"])
 
+    def test_log_stall_wedge_retries_and_recovers(self, tmp_path,
+                                                  monkeypatch):
+        # the r5 lost-first-RPC signature: the step hangs forever with
+        # a silent log; a fresh attempt succeeds. The watchdog must
+        # kill the stalled group and retry, ending PASS.
+        mod = self._mod()
+        monkeypatch.setattr(mod.time, "sleep", lambda s: None)
+        marker = tmp_path / "attempted"
+        step = {"name": "wedge", "timeout_s": 60, "log_stall_s": 1,
+                "retries": 2,
+                "cmd": ["bash", "-c",
+                        f"if [ -e {marker} ]; then echo recovered; exit 0; "
+                        f"fi; touch {marker}; echo starting; sleep 300"]}
+        state = {}
+        mod.run_steps([step], state, log_dir=str(tmp_path))
+        assert state["wedge"]["status"] == "PASS"
+
+    def test_log_stall_exhausts_retries(self, tmp_path, monkeypatch):
+        mod = self._mod()
+        monkeypatch.setattr(mod.time, "sleep", lambda s: None)
+        step = {"name": "hang", "timeout_s": 60, "log_stall_s": 1,
+                "retries": 1,
+                "cmd": ["bash", "-c", "echo once; sleep 300"]}
+        state = {}
+        mod.run_steps([step], state, log_dir=str(tmp_path))
+        assert state["hang"]["status"] == "WEDGED"
+        assert state["hang"]["rc"] == -1
+
     def test_pass_skips_and_needs_block(self, tmp_path):
         mod = self._mod()
         steps = [

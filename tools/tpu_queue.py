@@ -118,7 +118,7 @@ def _run_once(step, log_path):
             last_size, last_change = -1, time.time()
             while True:
                 try:
-                    rc = proc.wait(timeout=10)
+                    rc = proc.wait(timeout=min(10.0, max(0.5, stall_s / 2)))
                     return rc, ("PASS" if rc == 0 else "FAIL")
                 except subprocess.TimeoutExpired:
                     now = time.time()
