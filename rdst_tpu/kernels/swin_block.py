@@ -111,12 +111,20 @@ def _softmax_variant() -> str:
 def resolve_softmax_auto(attn_logit_max) -> str:
     """pallas_softmax='auto' policy: clamp is sound only for checkpoints
     whose audited max attention logit clears the safety margin; an
-    unstamped checkpoint gets the exact stable softmax (the reference
+    unstamped checkpoint gets an exact stable softmax (the reference
     bar is exact softmax at any magnitude,
-    /root/reference/networks/swin_transformer_sr.py:120-134)."""
+    /root/reference/networks/swin_transformer_sr.py:120-134).
+
+    The escalation target is 'stable_bc' — identical exact-softmax
+    numerics to 'stable' (both subtract the true per-head row max;
+    gated together in test_large_logit_stability) but measured faster
+    on chip: 2770 vs 2719 slices/s at the flagship geometry (r5,
+    queue step bench_stable_bc) — one full-lane exp over broadcast
+    per-head maxes instead of the per-head exp/concat loop."""
     if attn_logit_max is None:
-        return "stable"
-    return "clamp" if float(attn_logit_max) < AUTO_CLAMP_MARGIN else "stable"
+        return "stable_bc"
+    return ("clamp" if float(attn_logit_max) < AUTO_CLAMP_MARGIN
+            else "stable_bc")
 
 # int8 quantization (RDST_TPU_PALLAS_QUANT): static activation scale for
 # post-LayerNorm inputs — normalize() output is unit-variance by

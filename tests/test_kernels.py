@@ -660,10 +660,13 @@ class TestAutoSoftmax:
         from rdst_tpu.kernels.swin_block import (AUTO_CLAMP_MARGIN,
                                                  resolve_softmax_auto)
 
-        assert resolve_softmax_auto(None) == "stable"   # unstamped
+        # escalation target is stable_bc since r5: exact like stable
+        # (gated together in test_large_logit_stability) and measured
+        # faster on chip (2770 vs 2719 slices/s, bench_stable_bc)
+        assert resolve_softmax_auto(None) == "stable_bc"   # unstamped
         assert resolve_softmax_auto(25.0) == "clamp"    # 40k-recipe regime
-        assert resolve_softmax_auto(227.0) == "stable"  # the r4 100k regime
-        assert resolve_softmax_auto(AUTO_CLAMP_MARGIN) == "stable"
+        assert resolve_softmax_auto(227.0) == "stable_bc"  # r4 100k regime
+        assert resolve_softmax_auto(AUTO_CLAMP_MARGIN) == "stable_bc"
         assert AUTO_CLAMP_MARGIN < 60.0  # margin strictly below the clamp
 
     def test_unresolved_auto_traces_stable(self, monkeypatch):
@@ -704,17 +707,18 @@ class TestAutoSoftmax:
         assert os.environ["RDST_TPU_PALLAS_SOFTMAX"] == "clamp"
 
         # regression for the r4 failure mode: a 100k-schedule bound
-        # (measured max 227 on chip) must keep the stable softmax
+        # (measured max 227 on chip) must keep an exact stable softmax
+        # (stable_bc since r5 — same numerics, faster)
         monkeypatch.setenv("RDST_TPU_PALLAS_SOFTMAX", "auto")
         sc.write_text(json.dumps({"attn_logit_max": 227.0}))
-        assert resolve_pallas_softmax(str(w)) == "stable"
+        assert resolve_pallas_softmax(str(w)) == "stable_bc"
 
         monkeypatch.setenv("RDST_TPU_PALLAS_SOFTMAX", "auto")
         sc.write_text(json.dumps({"mean": [0.0], "std": [1.0]}))  # no stamp
-        assert resolve_pallas_softmax(str(w)) == "stable"
+        assert resolve_pallas_softmax(str(w)) == "stable_bc"
 
         monkeypatch.setenv("RDST_TPU_PALLAS_SOFTMAX", "auto")
-        assert resolve_pallas_softmax(None) == "stable"  # no weights at all
+        assert resolve_pallas_softmax(None) == "stable_bc"  # no weights
 
         monkeypatch.setenv("RDST_TPU_PALLAS_SOFTMAX", "clamp")
         assert resolve_pallas_softmax(str(w)) == "clamp"  # non-auto passthru
